@@ -18,6 +18,10 @@ TraceDict, reference nethook.py:22-200) with explicit function I/O:
 * **early stop** — instead of ``StopForward`` (reference nethook.py:203-216),
   ``stop_at_layer`` statically truncates the layer stack, so the stats sweep
   compiles a genuinely shorter program.
+* **single-layer stepping** — ``embed`` / ``layer_forward`` methods expose
+  the layer walk so the Stage-2 insert streams each batch through the stack
+  exactly once while editing weights mid-walk (engine/emcid.py), instead of
+  the reference's full re-forward per edited layer (emcid_main.py:981-1004).
 
 Weight layout matches HF ``CLIPTextModel`` module names so conversion is a
 mechanical transpose (see models/convert_hf.py).
@@ -36,7 +40,7 @@ from emcid_tpu.models.configs import CLIPTextConfig
 
 class TextOutput(NamedTuple):
     last_hidden_state: jnp.ndarray  # (B, S, H) — after final LN
-    pooled_output: Optional[jnp.ndarray]  # (B, H) at first-EOS position
+    pooled_output: Optional[jnp.ndarray]  # (B, H/proj) at first-EOS position
     taps: Dict[str, jnp.ndarray]  # name → (L, B, S, D) stacked captures
 
 
@@ -48,43 +52,61 @@ def _activation(name: str):
     raise ValueError(f"unknown activation {name!r}")
 
 
+def causal_attention_mask(seq_len: int, attention_mask: Optional[jnp.ndarray] = None):
+    """Additive (−inf form) causal mask, optionally combined with padding."""
+    neg = jnp.finfo(jnp.float32).min
+    causal = jnp.where(
+        jnp.tril(jnp.ones((seq_len, seq_len), dtype=bool)), 0.0, neg
+    )[None, None, :, :]
+    if attention_mask is not None:
+        pad = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
+        return causal + pad
+    return causal
+
+
 class CLIPAttention(nn.Module):
     config: CLIPTextConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        h = self.config.hidden_size
+        self.q_proj = nn.Dense(h, dtype=self.dtype)
+        self.k_proj = nn.Dense(h, dtype=self.dtype)
+        self.v_proj = nn.Dense(h, dtype=self.dtype)
+        self.out_proj = nn.Dense(h, dtype=self.dtype)
+
     def __call__(self, hidden, mask):
         cfg = self.config
         h, nh = cfg.hidden_size, cfg.num_attention_heads
         hd = h // nh
-        dense = lambda name: nn.Dense(h, dtype=self.dtype, name=name)
-        q = dense("q_proj")(hidden) * (hd**-0.5)
-        k = dense("k_proj")(hidden)
-        v = dense("v_proj")(hidden)
+        q = self.q_proj(hidden) * (hd**-0.5)
+        k = self.k_proj(hidden)
+        v = self.v_proj(hidden)
         B, S, _ = hidden.shape
         split = lambda x: x.reshape(B, S, nh, hd)
-        # (B, nh, S, S) scores; seq is 77 — a fused einsum softmax is already
+        # (B, nh, S, S) scores; seq is 77 — a fused einsum+softmax is already
         # MXU-shaped, no pallas needed at this length (SURVEY.md §5: the
         # sequence axis is trivially small).
         scores = jnp.einsum("bqhd,bkhd->bhqk", split(q), split(k))
         scores = scores + mask
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, split(v)).reshape(B, S, h)
-        return dense("out_proj")(out)
+        return self.out_proj(out)
 
 
 class CLIPMLP(nn.Module):
     config: CLIPTextConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, hidden):
+    def setup(self):
         cfg = self.config
-        act = _activation(cfg.hidden_act)
-        fc1 = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")
-        fc2 = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")
-        fc2_in = act(fc1(hidden))
-        fc2_out = fc2(fc2_in)
+        self.fc1 = nn.Dense(cfg.intermediate_size, dtype=self.dtype)
+        self.fc2 = nn.Dense(cfg.hidden_size, dtype=self.dtype)
+
+    def __call__(self, hidden):
+        act = _activation(self.config.hidden_act)
+        fc2_in = act(self.fc1(hidden))
+        fc2_out = self.fc2(fc2_in)
         return fc2_out, fc2_in
 
 
@@ -92,18 +114,16 @@ class CLIPEncoderLayer(nn.Module):
     config: CLIPTextConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, hidden, mask):
+    def setup(self):
         cfg = self.config
-        ln1 = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                           name="layer_norm1")
-        ln2 = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                           name="layer_norm2")
-        attn = CLIPAttention(cfg, dtype=self.dtype, name="self_attn")
-        mlp = CLIPMLP(cfg, dtype=self.dtype, name="mlp")
+        self.layer_norm1 = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype)
+        self.layer_norm2 = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype)
+        self.self_attn = CLIPAttention(cfg, dtype=self.dtype)
+        self.mlp = CLIPMLP(cfg, dtype=self.dtype)
 
-        hidden = hidden + attn(ln1(hidden), mask)
-        fc2_out, fc2_in = mlp(ln2(hidden))
+    def __call__(self, hidden, mask):
+        hidden = hidden + self.self_attn(self.layer_norm1(hidden), mask)
+        fc2_out, fc2_in = self.mlp(self.layer_norm2(hidden))
         hidden = hidden + fc2_out
         return hidden, fc2_in, fc2_out
 
@@ -120,20 +140,62 @@ class CLIPTextEncoder(nn.Module):
     * ``capture``: static tuple from {"fc2_in", "fc2_out", "layer_out",
       "embed"} — returns stacked (L, B, S, D) arrays in ``.taps``.
     * ``stop_at_layer``: static int — run layers [0, stop_at_layer] only and
-      skip final LN/pool (fc2 captures of later layers are absent).
+      skip final LN/pool.
     * ``embed_noise``: optional (B, S, H) added to the token+position
       embedding (the causal-tracing corruption seam,
       reference causal_trace.py:240-251).
-    * ``patch_spec``: optional (token-patching seam for causal tracing) dict
-      ``{layer_idx: (B, S) mask}`` — at each given layer output, rows
-      1.. of the batch get their masked token states replaced by row 0's
-      (reference trace_with_patch_text_encoder, causal_trace.py:252-259).
+    * ``patch_spec``: token-patching seam for causal tracing — dict
+      ``{layer_idx: (B, S) mask}``; at each given layer output, rows 1.. of
+      the batch get masked token states replaced from row 0
+      (reference causal_trace.py:252-259).
     """
 
     config: CLIPTextConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        self.token_embedding = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                                        dtype=self.dtype)
+        self.position_embedding = nn.Embed(cfg.max_position_embeddings,
+                                           cfg.hidden_size, dtype=self.dtype)
+        self.layers = [
+            CLIPEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")
+            for i in range(cfg.num_hidden_layers)
+        ]
+        self.final_layer_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                                             dtype=self.dtype)
+        if cfg.projection_dim is not None:
+            self.text_projection = nn.Dense(cfg.projection_dim, use_bias=False,
+                                            dtype=self.dtype)
+
+    # ---- stepping API (used by engine/emcid.py one-pass insert) ----------
+    def embed(self, input_ids, embed_noise=None):
+        S = input_ids.shape[1]
+        hidden = self.token_embedding(input_ids) + self.position_embedding(
+            jnp.arange(S)[None, :]
+        )
+        if embed_noise is not None:
+            hidden = hidden + embed_noise.astype(hidden.dtype)
+        return hidden
+
+    def layer_forward(self, hidden, mask, layer_idx: int):
+        """Run a single encoder layer; returns (hidden, fc2_in, fc2_out)."""
+        return self.layers[layer_idx](hidden, mask)
+
+    def final(self, hidden, input_ids):
+        """Final LN + EOS pooling (+ optional projection)."""
+        cfg = self.config
+        hidden = self.final_layer_norm(hidden)
+        eos_pos = jnp.argmax(
+            (input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1
+        )
+        pooled = hidden[jnp.arange(hidden.shape[0]), eos_pos]
+        if cfg.projection_dim is not None:
+            pooled = self.text_projection(pooled)
+        return hidden, pooled
+
+    # ---- full forward ----------------------------------------------------
     def __call__(
         self,
         input_ids: jnp.ndarray,
@@ -150,41 +212,16 @@ class CLIPTextEncoder(nn.Module):
     ) -> TextOutput:
         cfg = self.config
         B, S = input_ids.shape
-        tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
-                       name="token_embedding")(input_ids)
-        pos_ids = jnp.arange(S)[None, :]
-        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
-                       dtype=self.dtype, name="position_embedding")(pos_ids)
-        hidden = tok + pos
-        if embed_noise is not None:
-            hidden = hidden + embed_noise.astype(hidden.dtype)
-
-        # causal mask (+ optional padding mask), additive −inf form
-        neg = jnp.finfo(jnp.float32).min
-        causal = jnp.where(
-            jnp.tril(jnp.ones((S, S), dtype=bool)), 0.0, neg
-        )[None, None, :, :]
-        if attention_mask is not None:
-            pad = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
-            mask = causal + pad
-        else:
-            mask = causal
+        hidden = self.embed(input_ids, embed_noise)
+        mask = causal_attention_mask(S, attention_mask)
 
         captures: Dict[str, list] = {name: [] for name in capture}
         if "embed" in captures:
             captures["embed"].append(hidden)
 
-        n_layers = cfg.num_hidden_layers
-        last = n_layers - 1 if stop_at_layer is None else stop_at_layer
-        for i in range(n_layers):
-            if i > last:
-                # Keep module structure identical regardless of stop point so
-                # params always initialize for every layer.
-                _ = CLIPEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")
-                continue
-            hidden, fc2_in, fc2_out = CLIPEncoderLayer(
-                cfg, dtype=self.dtype, name=f"layers_{i}"
-            )(hidden, mask)
+        last = cfg.num_hidden_layers - 1 if stop_at_layer is None else stop_at_layer
+        for i in range(min(last, cfg.num_hidden_layers - 1) + 1):
+            hidden, fc2_in, fc2_out = self.layers[i](hidden, mask)
             if inject_layer == i and inject_delta is not None:
                 delta = inject_delta
                 if delta.ndim == 2:
@@ -212,28 +249,12 @@ class CLIPTextEncoder(nn.Module):
             return TextOutput(hidden, None, taps)
 
         if final_ln:
-            hidden = nn.LayerNorm(
-                epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                name="final_layer_norm"
-            )(hidden)
+            hidden, pooled = self.final(hidden, input_ids)
         else:
-            # still materialize final LN params for checkpoint compatibility
-            _ = nn.LayerNorm(
-                epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                name="final_layer_norm",
+            eos_pos = jnp.argmax(
+                (input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1
             )
-
-        # pooled output at the first EOS position (CLIP pads with EOS, so
-        # argmax of the equality mask = first occurrence)
-        eos_pos = jnp.argmax(
-            (input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1
-        )
-        pooled = hidden[jnp.arange(B), eos_pos]
-        if cfg.projection_dim is not None:
-            pooled = nn.Dense(
-                cfg.projection_dim, use_bias=False, dtype=self.dtype,
-                name="text_projection",
-            )(pooled)
+            pooled = hidden[jnp.arange(B), eos_pos]
         return TextOutput(hidden, pooled, taps)
 
     def init_params(self, rng, seq_len: Optional[int] = None):
