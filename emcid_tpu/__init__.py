@@ -30,6 +30,10 @@ configs carry over. See SURVEY.md at the repo root for the layer map.
 
 __version__ = "0.1.0"
 
+from emcid_tpu.runtime import setup_compilation_cache as _setup_cache
+
+_setup_cache()
+
 from emcid_tpu.hparams import (
     EMCIDHyperParams,
     EMCIDXLHyperParams,

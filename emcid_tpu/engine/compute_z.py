@@ -1,0 +1,380 @@
+"""Stage-1: per-concept optimization of the target representation z.
+
+Algorithm parity with the reference ``compute_z_text_encoder``
+(compute_z.py:315-649): optimize a delta added to the last-subject-token
+hidden state at the last edited layer, minimizing
+
+    MSE( UNet(noisy_latents, t, edited_source_text_repr),
+         UNet(noisy_latents, t, dest_text_repr) )            [ablate-dest]
+  + v_weight_decay * |delta| / |z0|^2                        [or EWC]
+  + text_repr_loss_scale * MSE(edited_pooler, dest_pooler)   [txt-align]
+
+with Adam(lr=v_lr) for v_num_grad_steps steps and an L2-ball projection
+|delta| <= clamp_norm_factor * |z0| after every step.  Objectives:
+ablate-dest / ablate-source (same loss, different training images),
+esd (target = eps_dest - mu*(eps_source_frozen - eps_dest)),
+use_sampled_noise (target = the true noise), no_noise_loss (reg only).
+
+TPU-first redesign (the reference runs one concept at a time, one python
+Adam step per iteration, re-encoding constants every step):
+
+* constants are hoisted: dest/source text representations and poolers are
+  computed once (the reference recomputes them under no_grad every step,
+  compute_z.py:500-507); VAE posteriors are encoded once and re-sampled
+  per step from (mean, logvar);
+* one jit'd step = inject delta → text encoder fwd → 2-3 UNet fwds → loss →
+  optax adam → clamp, with ``lax.fori_loop`` over steps — zero host sync
+  inside the optimization;
+* **vmap over concepts**: a whole block of concepts optimizes in one
+  program, turning the per-concept UNet forwards into large MXU-shaped
+  batches; blocks shard over the device mesh on the concept axis.
+
+Record/replay seam (SURVEY.md §7 "RNG parity"): ``noise_and_timesteps``
+optionally supplies the exact (noise, timestep, posterior-eps, sample-index)
+sequence, so given the same training images the optimization is
+deterministic and comparable against any other implementation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from emcid_tpu.models.clip_text import causal_attention_mask
+from emcid_tpu.models.scheduler import Schedule, add_noise
+from emcid_tpu.text.token_range import find_token_range
+
+
+class ConceptBatch(NamedTuple):
+    """Device arrays for a block of C concepts, P prompts each, T edit tokens."""
+
+    source_ids: jnp.ndarray  # (C, P, S) int32
+    dest_ids: jnp.ndarray  # (C, P, S) int32
+    inject_mask: jnp.ndarray  # (C, T, P, S) f32 — delta_t lands on these tokens
+    source_lookup: jnp.ndarray  # (C, P) int32 — last subject token per prompt
+    dest_lookup: jnp.ndarray  # (C, P) int32
+    latents_mean: jnp.ndarray  # (C, Simg, P, h, w, c) VAE posterior mean (scaled)
+    latents_logvar: jnp.ndarray  # (C, Simg, P, h, w, c)
+
+
+def prepare_concept_batch(
+    tokenizer,
+    requests: Sequence[Dict],
+    hparams,
+    max_length: Optional[int] = None,
+) -> Tuple[Dict[str, np.ndarray], List[List[str]], List[List[str]]]:
+    """Host-side tokenization + token-index localization for a concept block.
+
+    Returns (arrays, source_prompts, dest_prompts); latents are attached by
+    the caller after encoding training images.
+    """
+    max_length = max_length or tokenizer.model_max_length
+    C = len(requests)
+    P = len(requests[0]["prompts"])
+    T = getattr(hparams, "num_edit_tokens", 1)
+    S = max_length
+
+    source_ids = np.zeros((C, P, S), np.int32)
+    dest_ids = np.zeros((C, P, S), np.int32)
+    inject_mask = np.zeros((C, T, P, S), np.float32)
+    source_lookup = np.zeros((C, P), np.int32)
+    dest_lookup = np.zeros((C, P), np.int32)
+    src_prompts_all, dst_prompts_all = [], []
+
+    for c, request in enumerate(requests):
+        assert len(request["prompts"]) == P, "uniform prompt count per block"
+        src_prompts = [p.format(request["source"]) for p in request["prompts"]]
+        if hparams.objective == "esd":
+            dst_prompts = ["" for _ in request["prompts"]]
+        else:
+            dst_prompts = [p.format(request["dest"]) for p in request["prompts"]]
+        src_prompts_all.append(src_prompts)
+        dst_prompts_all.append(dst_prompts)
+        s_enc = tokenizer(src_prompts, padding="max_length", truncation=True,
+                          max_length=S)
+        d_enc = tokenizer(dst_prompts, padding="max_length", truncation=True,
+                          max_length=S)
+        source_ids[c] = s_enc["input_ids"]
+        dest_ids[c] = d_enc["input_ids"]
+        for p in range(P):
+            n_real = int(s_enc["attention_mask"][p].sum())
+            _, end = find_token_range(
+                tokenizer, s_enc["input_ids"][p, :n_real], request["source"]
+            )
+            source_lookup[c, p] = end - 1
+            inject_mask[c, 0, p, end - 1] = 1.0
+            if T > 1:
+                eos = n_real - 1
+                for t in range(1, T):
+                    inject_mask[c, t, p, min(eos + t - 1, S - 1)] = 1.0
+            if hparams.objective == "esd":
+                dn = int(d_enc["attention_mask"][p].sum())
+                dest_lookup[c, p] = dn - 1
+            else:
+                dn = int(d_enc["attention_mask"][p].sum())
+                _, dend = find_token_range(
+                    tokenizer, d_enc["input_ids"][p, :dn], request["dest"]
+                )
+                dest_lookup[c, p] = dend - 1
+
+    return (
+        dict(source_ids=source_ids, dest_ids=dest_ids,
+             inject_mask=inject_mask, source_lookup=source_lookup,
+             dest_lookup=dest_lookup),
+        src_prompts_all,
+        dst_prompts_all,
+    )
+
+
+@dataclass
+class ZOptimizer:
+    """Compiled Stage-1 optimizer for a fixed (model shapes, hparams, layer).
+
+    Build once, call ``run`` on successive concept blocks of the same shape —
+    the underlying program is compiled a single time.
+    """
+
+    text_model: Any
+    unet: Any
+    schedule: Schedule
+    hparams: Any
+    layer: int
+    fim: Optional[np.ndarray] = None  # EWC Fisher diag (hidden,)
+    compute_dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        hp = self.hparams
+        self._run = jax.jit(partial(self._run_impl))
+
+    # -- pieces ------------------------------------------------------------
+    def _text_fwd(self, params, ids2d):
+        """(N, S) ids → (hidden (N,S,H), pooled (N,H))."""
+        out = self.text_model.apply({"params": params}, ids2d)
+        return out.last_hidden_state, out.pooled_output
+
+    def _edited_fwd(self, params, ids2d, delta, mask2d):
+        """Inject (T,H) delta at mask positions; returns hidden+pooled+z_now.
+
+        mask2d: (T, N, S).  The injection point is the *layer output* of
+        ``self.layer`` (reference layer_module_tmp hook, compute_z.py:353-373).
+        """
+        inj = jnp.einsum("tns,th->nsh", mask2d, delta)
+        out = self.text_model.apply(
+            {"params": params}, ids2d,
+            inject_layer=self.layer,
+            inject_delta=inj,
+            capture=("layer_out",),
+        )
+        return out.last_hidden_state, out.pooled_output, out.taps["layer_out"][self.layer]
+
+    # -- main --------------------------------------------------------------
+    def _run_impl(self, text_params, unet_params, batch: ConceptBatch,
+                  rng: jnp.ndarray,
+                  noise_override: Optional[jnp.ndarray] = None,
+                  ts_override: Optional[jnp.ndarray] = None):
+        hp = self.hparams
+        C, P, S = batch.source_ids.shape
+        T = batch.inject_mask.shape[1]
+        steps = hp.v_num_grad_steps
+        H = self.text_model.config.hidden_size
+        lat_shape = batch.latents_mean.shape[3:]
+        n_train_ts = self.schedule.num_train_timesteps
+
+        flat = lambda x: x.reshape((C * P,) + x.shape[2:])
+
+        # ---- hoisted constants (recomputed per-step in the reference) ----
+        dest_hidden, dest_pooled = self._text_fwd(text_params, flat(batch.dest_ids))
+        dest_hidden = dest_hidden.reshape(C, P, S, H)
+        dest_pooled = dest_pooled.reshape(C, P, H)
+        need_source_repr = hp.objective == "esd"
+        if need_source_repr:
+            source_hidden, _ = self._text_fwd(text_params, flat(batch.source_ids))
+            source_hidden = source_hidden.reshape(C, P, S, H)
+        else:
+            source_hidden = dest_hidden  # unused
+
+        # z0 = unedited layer output at the edit tokens, FIRST prompt
+        # (reference records source_init from prompt 0, compute_z.py:360-365)
+        out0 = self.text_model.apply(
+            {"params": text_params}, batch.source_ids[:, 0],
+            capture=("layer_out",), stop_at_layer=self.layer,
+        )
+        layer_out0 = out0.taps["layer_out"][self.layer]  # (C, S, H)
+        # per edit token t: position in prompt 0
+        mask0 = batch.inject_mask[:, :, 0, :]  # (C, T, S)
+        z0 = jnp.einsum("cts,csh->cth", mask0, layer_out0)  # (C, T, H)
+        z0_norm = jnp.linalg.norm(z0.reshape(C, -1), axis=-1)  # (C,) global
+        fim = None
+        if hp.use_ewc:
+            if self.fim is None:
+                raise ValueError("use_ewc=True requires a FIM array")
+            fim = jnp.asarray(self.fim, dtype=jnp.float32)
+
+        opt = optax.adam(hp.v_lr)
+
+        def concept_loss(delta, data, key):
+            """Loss for one concept (vmapped).  delta (T, H)."""
+            (src_ids, inj_mask, d_hidden, d_pooled, s_hidden, lat_mean,
+             lat_logvar, z0n, src_look, dst_look) = data[:10]
+            k_img, k_post, k_noise, k_t = jax.random.split(key, 4)
+            # sample image index per prompt (reference compute_z.py:493-496)
+            Simg = lat_mean.shape[0]
+            img_idx = jax.random.randint(k_img, (P,), 0, Simg)
+            mean = lat_mean[img_idx, jnp.arange(P)]
+            logvar = lat_logvar[img_idx, jnp.arange(P)]
+            latents = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                k_post, mean.shape, mean.dtype
+            )
+            if noise_override is None:
+                noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+                timesteps = jax.random.randint(k_t, (P,), 0, n_train_ts)
+            else:
+                # record/replay path: externally supplied slices
+                noise, timesteps = data[10], data[11]
+            noisy = add_noise(self.schedule, latents, noise, timesteps)
+
+            edited_hidden, edited_pooled, _ = self._edited_fwd(
+                text_params, src_ids, delta, inj_mask
+            )
+
+            def unet_eps(ctx):
+                return self.unet.apply(
+                    {"params": unet_params}, noisy, timesteps, ctx
+                ).sample
+
+            aux = {}
+            if hp.no_noise_loss:
+                mse = 0.0
+            else:
+                eps_edit = unet_eps(edited_hidden)
+                eps_dest = jax.lax.stop_gradient(unet_eps(d_hidden))
+                if hp.objective == "esd":
+                    eps_src = jax.lax.stop_gradient(unet_eps(s_hidden))
+                    mu = float(hp.esd_mu) if hp.esd_mu not in (None, "None") else 1.0
+                    target = eps_dest - mu * (eps_src - eps_dest)
+                    mse = jnp.mean((eps_edit - target) ** 2)
+                elif hp.use_sampled_noise:
+                    mse = jnp.mean((noise - eps_edit) ** 2)
+                else:  # ablate-dest / ablate-source
+                    mse = jnp.mean((eps_edit - eps_dest) ** 2)
+            # safe norm: grad of |delta| at delta=0 must be 0, not NaN
+            # (delta starts at exactly 0; torch subgradients give 0 there)
+            d_norm = jnp.sqrt(jnp.sum(delta**2) + 1e-12)
+            if hp.use_ewc:
+                reg = jnp.sum(float(hp.ewc_lambda) * fim * delta**2) / (
+                    2.0 * z0n**2
+                )
+            else:
+                reg = hp.v_weight_decay * d_norm / z0n**2
+            loss = mse + reg
+            if hp.cal_text_repr_loss:
+                if hp.align_object_token:
+                    e_obj = edited_hidden[jnp.arange(P), src_look]
+                    d_obj = d_hidden[jnp.arange(P), dst_look]
+                    talign = jnp.mean((e_obj - d_obj) ** 2)
+                else:  # simple pooler alignment (the shipped default)
+                    talign = jnp.mean((edited_pooled - d_pooled) ** 2)
+                loss = loss + hp.text_repr_loss_scale_factor * talign
+                aux["talign"] = talign
+            aux["mse"] = mse
+            aux["reg"] = reg
+            return loss, aux
+
+        per_concept = jax.vmap(jax.value_and_grad(concept_loss, has_aux=True),
+                               in_axes=(0, 0, 0))
+
+        def step(carry, step_idx):
+            delta, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, C)
+            if noise_override is not None:
+                data = (
+                    flatbatch_src, batch.inject_mask, dest_hidden, dest_pooled,
+                    source_hidden, batch.latents_mean, batch.latents_logvar,
+                    z0_norm, batch.source_lookup, batch.dest_lookup,
+                    noise_override[step_idx], ts_override[step_idx],
+                )
+            else:
+                data = (
+                    flatbatch_src, batch.inject_mask, dest_hidden, dest_pooled,
+                    source_hidden, batch.latents_mean, batch.latents_logvar,
+                    z0_norm, batch.source_lookup, batch.dest_lookup,
+                )
+            (loss, aux), grads = per_concept(delta, data, keys)
+            updates, opt_state = opt.update(grads, opt_state, delta)
+            delta = optax.apply_updates(delta, updates)
+            # L2-ball projection per concept (reference compute_z.py:638-642)
+            max_norm = hp.clamp_norm_factor * z0_norm  # (C,)
+            d_norm = jnp.linalg.norm(delta.reshape(C, -1), axis=-1)
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(d_norm, 1e-12))
+            delta = delta * scale[:, None, None]
+            return (delta, opt_state, key), loss.mean()
+
+        flatbatch_src = batch.source_ids
+        delta0 = jnp.zeros((C, T, H), dtype=jnp.float32)
+        opt_state = opt.init(delta0)
+        (delta, _, _), losses = jax.lax.scan(
+            step, (delta0, opt_state, rng), jnp.arange(steps)
+        )
+        zs = z0 + delta
+        return zs, delta, z0, losses
+
+    def run(self, text_params, unet_params, batch: ConceptBatch,
+            rng: Optional[jax.Array] = None,
+            noise_override=None, ts_override=None):
+        """Optimize a concept block → (zs (C,T,H), delta, z0, loss curve)."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return self._run(text_params, unet_params, batch, rng,
+                         noise_override, ts_override)
+
+
+def compute_z_text_encoder_batch(
+    text_model,
+    text_params,
+    unet,
+    unet_params,
+    schedule: Schedule,
+    tokenizer,
+    requests: Sequence[Dict],
+    hparams,
+    layer: int,
+    latents_mean: np.ndarray,
+    latents_logvar: np.ndarray,
+    rng: Optional[jax.Array] = None,
+    fim: Optional[np.ndarray] = None,
+    verbose: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Convenience wrapper: prepare + run one concept block.
+
+    latents_mean/logvar: (C, Simg, P, h, w, c) scaled VAE posterior of the
+    training images (see engine.training_images for how they are produced).
+
+    Returns (zs (C, T, H), loss curve (steps,)).
+    """
+    arrays, _, _ = prepare_concept_batch(tokenizer, requests, hparams)
+    batch = ConceptBatch(
+        source_ids=jnp.asarray(arrays["source_ids"]),
+        dest_ids=jnp.asarray(arrays["dest_ids"]),
+        inject_mask=jnp.asarray(arrays["inject_mask"]),
+        source_lookup=jnp.asarray(arrays["source_lookup"]),
+        dest_lookup=jnp.asarray(arrays["dest_lookup"]),
+        latents_mean=jnp.asarray(latents_mean),
+        latents_logvar=jnp.asarray(latents_logvar),
+    )
+    optz = ZOptimizer(text_model, unet, schedule, hparams, layer, fim=fim)
+    zs, delta, z0, losses = optz.run(text_params, unet_params, batch, rng)
+    if verbose:
+        C = zs.shape[0]
+        print(
+            f"Init norm {float(jnp.linalg.norm(z0.reshape(C, -1), axis=-1).mean()):.3f} | "
+            f"Delta norm {float(jnp.linalg.norm(delta.reshape(C, -1), axis=-1).mean()):.3f} | "
+            f"final loss {float(losses[-1]):.6f}"
+        )
+    return np.asarray(zs), np.asarray(losses)

@@ -1,0 +1,131 @@
+"""Training-image acquisition for Stage-1.
+
+The reference either generates training images with the frozen pipeline
+(seeded, guidance 7.5 — compute_z.py:384-418) or loads them from
+``request["training_img_paths"]`` / ``request["images"]``.  Both paths are
+kept; generation is batched across all concepts' prompts through the
+mesh-shardable sampler instead of one pipe() call per concept.
+
+Output format: scaled VAE posterior (mean, logvar), shaped
+``(C, samples_per_prompt, P, h, w, c)`` — Stage-1 re-samples the posterior
+each step, which the reference does implicitly by calling
+``vae.encode(...).latent_dist.sample()`` per iteration (compute_z.py:498).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emcid_tpu.models.pipeline import SDComponents, generate
+
+
+def preprocess_images(images, resolution: int = 512) -> np.ndarray:
+    """PIL images / arrays → float32 NHWC in [-1, 1]
+    (reference preprocess_img, compute_z.py:34-54)."""
+    out = []
+    for img in images:
+        if hasattr(img, "convert"):  # PIL
+            img = img.convert("RGB").resize((resolution, resolution))
+            arr = np.asarray(img, dtype=np.float32) / 255.0
+        else:
+            arr = np.asarray(img, dtype=np.float32)
+            if arr.max() > 1.5:
+                arr = arr / 255.0
+        out.append(arr * 2.0 - 1.0)
+    return np.stack(out)
+
+
+def encode_posterior(components: SDComponents, images: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Images [-1,1] NHWC → scaled posterior (mean, logvar)."""
+
+    @jax.jit
+    def enc(vae_params, x):
+        dist = components.vae.apply({"params": vae_params}, x, method="encode")
+        return (dist.mean * components.scaling_factor,
+                dist.logvar + 2.0 * jnp.log(components.scaling_factor))
+
+    mean, logvar = enc(components.vae_params, jnp.asarray(images))
+    return np.asarray(mean), np.asarray(logvar)
+
+
+def training_latents_for_requests(
+    components: SDComponents,
+    requests: Sequence[Dict],
+    hparams,
+    height: int = 512,
+    width: int = 512,
+    num_inference_steps: int = 50,
+    guidance_scale: float = 7.5,
+    batch_size: Optional[int] = None,
+    verbose: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(C, Simg, P, h, w, c) scaled posterior mean/logvar for all requests.
+
+    Per request: use ``images`` / ``training_img_paths`` when provided (the
+    torch-free real-image mode), else generate ``samples_per_prompt`` images
+    per source prompt with the frozen pipeline, seeded by ``seed_train``.
+    """
+    Simg = getattr(hparams, "samples_per_prompt", 1)
+    P = len(requests[0]["prompts"])
+
+    gen_prompts: List[str] = []
+    gen_seeds: List[int] = []
+    gen_slots: List[Tuple[int, int, int]] = []
+    loaded: Dict[Tuple[int, int, int], np.ndarray] = {}
+
+    for c, request in enumerate(requests):
+        src_prompts = [p.format(request["source"]) for p in request["prompts"]]
+        if "training_img_paths" in request or "images" in request:
+            if "training_img_paths" in request:
+                from PIL import Image
+
+                imgs = [Image.open(p) for p in request["training_img_paths"]]
+            else:
+                imgs = request["images"]
+            arr = preprocess_images(imgs, resolution=height)
+            # tile/truncate to (Simg, P)
+            need = Simg * P
+            reps = int(np.ceil(need / len(arr)))
+            arr = np.tile(arr, (reps, 1, 1, 1))[:need]
+            for s in range(Simg):
+                for p in range(P):
+                    loaded[(c, s, p)] = arr[s * P + p]
+        else:
+            seed0 = int(request.get("seed_train") or 0)
+            for s in range(Simg):
+                for p, prompt in enumerate(src_prompts):
+                    gen_prompts.append(prompt)
+                    # distinct, reproducible seed per (concept, sample, prompt)
+                    gen_seeds.append(seed0 * 10007 + s * 101 + p)
+                    gen_slots.append((c, s, p))
+
+    if gen_prompts:
+        if verbose:
+            print(f"generating {len(gen_prompts)} training images")
+        imgs = generate(
+            components, gen_prompts, gen_seeds,
+            batch_size=batch_size,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            height=height, width=width,
+        )
+        arr = imgs.astype(np.float32) / 255.0 * 2.0 - 1.0
+        for slot, im in zip(gen_slots, arr):
+            loaded[slot] = im
+
+    C = len(requests)
+    all_imgs = np.stack(
+        [loaded[(c, s, p)] for c in range(C) for s in range(Simg)
+         for p in range(P)]
+    )
+    mean, logvar = encode_posterior(components, all_imgs)
+    h, w, ch = mean.shape[1:]
+    return (
+        mean.reshape(C, Simg, P, h, w, ch),
+        logvar.reshape(C, Simg, P, h, w, ch),
+    )

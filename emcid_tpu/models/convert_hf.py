@@ -117,3 +117,159 @@ def _iter_modules(tree: Dict[str, Any], prefix: str = ""):
     for k, v in tree.items():
         if isinstance(v, dict):
             yield from _iter_modules(v, prefix + k + ".")
+
+
+# ---------------------------------------------------------------------------
+# Generic UNet / VAE conversion.
+#
+# Our Flax modules use underscore-flattened HF names ("down_blocks_0_resnets_0"
+# holding "conv1", "transformer_blocks_0" holding "attn2/to_k", ...).  The
+# mapping to HF dotted names is mechanical: numeric path tokens become ".N"
+# separators, with a short special-case table.  The mapping is *generated
+# from the Flax param tree*, which guarantees it covers exactly our
+# architecture — conversion then runs in either direction off the same table.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+# Ordered structural rewrite rules, applied per path component.  Explicit
+# rather than heuristic: underscore-flattened names are ambiguous
+# ("mid_block_resnets_0" must become "mid_block.resnets.0", but
+# "quant_conv" must stay as-is), so each known shape is listed.
+_COMPONENT_RULES = [
+    (_re.compile(r"^(down_blocks|up_blocks)_(\d+)_"
+                 r"(resnets|attentions|downsamplers|upsamplers)_(\d+)_conv$"),
+     r"\1.\2.\3.\4.conv"),
+    (_re.compile(r"^(down_blocks|up_blocks)_(\d+)_"
+                 r"(resnets|attentions|downsamplers|upsamplers)_(\d+)$"),
+     r"\1.\2.\3.\4"),
+    (_re.compile(r"^mid_block_(resnets|attentions)_(\d+)$"),
+     r"mid_block.\1.\2"),
+    (_re.compile(r"^transformer_blocks_(\d+)$"), r"transformer_blocks.\1"),
+    (_re.compile(r"^to_out_0$"), "to_out.0"),
+    (_re.compile(r"^net_0_proj$"), "net.0.proj"),
+    (_re.compile(r"^net_2$"), "net.2"),
+    (_re.compile(r"^time_embedding_linear_(\d)$"), r"time_embedding.linear_\1"),
+    (_re.compile(r"^add_embedding_linear_(\d)$"), r"add_embedding.linear_\1"),
+    (_re.compile(r"^layers_(\d+)$"), r"layers.\1"),
+]
+
+
+def _flax_component_to_hf(name: str) -> str:
+    """'down_blocks_0_resnets_0' → 'down_blocks.0.resnets.0' etc.; names
+    with no structural match pass through unchanged."""
+    for pattern, repl in _COMPONENT_RULES:
+        if pattern.match(name):
+            return pattern.sub(repl, name)
+    return name
+
+
+def _flax_path_to_hf_name(path: Tuple[str, ...]) -> str:
+    return ".".join(_flax_component_to_hf(p) for p in path)
+
+
+def _leaf_to_torch(leaf_name: str, value: np.ndarray) -> Tuple[str, np.ndarray]:
+    v = _np(value)
+    if leaf_name == "kernel":
+        if v.ndim == 2:  # Dense (in, out) → Linear (out, in)
+            return "weight", v.T
+        if v.ndim == 4:  # Conv (kh, kw, in, out) → (out, in, kh, kw)
+            return "weight", v.transpose(3, 2, 0, 1)
+        raise ValueError(f"unexpected kernel ndim {v.ndim}")
+    if leaf_name == "scale":
+        return "weight", v
+    if leaf_name == "embedding":
+        return "weight", v
+    return leaf_name, v  # bias
+
+
+def _leaf_from_torch(leaf_name: str, flax_value: np.ndarray,
+                     torch_value) -> np.ndarray:
+    v = _np(torch_value)
+    if leaf_name == "kernel":
+        if flax_value.ndim == 2:
+            return v.T
+        if flax_value.ndim == 4:
+            return v.transpose(2, 3, 1, 0)
+    return v
+
+
+def _walk_leaves(tree: Dict[str, Any], prefix: Tuple[str, ...] = ()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _walk_leaves(v, prefix + (k,))
+        else:
+            yield prefix, k, v
+
+
+def flax_to_hf_mapping(params: Dict[str, Any],
+                       prefix: str = "") -> Dict[str, Tuple[Tuple[str, ...], str]]:
+    """HF state_dict name → (flax path, leaf name), generated from params."""
+    mapping = {}
+    for path, leaf, value in _walk_leaves(params):
+        hf_mod = _flax_path_to_hf_name(path)
+        hf_leaf, _ = _leaf_to_torch(leaf, np.zeros((1, 1)) if leaf == "kernel"
+                                    and np.ndim(value) == 2 else value)
+        # leaf translation only needs the name here
+        hf_leaf = {"kernel": "weight", "scale": "weight",
+                   "embedding": "weight"}.get(leaf, leaf)
+        full = f"{prefix}{hf_mod}.{hf_leaf}"
+        mapping[full] = (path, leaf)
+    return mapping
+
+
+def unet_to_torch(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """UNet Flax params → HF UNet2DConditionModel state_dict (numpy)."""
+    sd = {}
+    for path, leaf, value in _walk_leaves(params):
+        hf_mod = _flax_path_to_hf_name(path)
+        hf_leaf, v = _leaf_to_torch(leaf, value)
+        sd[f"{hf_mod}.{hf_leaf}"] = v
+    return sd
+
+
+def unet_from_torch(state_dict: Mapping[str, Any],
+                    flax_template: Dict[str, Any]) -> Dict[str, Any]:
+    """HF UNet2DConditionModel state_dict → Flax params.
+
+    ``flax_template`` (e.g. from ``init_params``) fixes the target structure;
+    every template leaf must find its HF counterpart or a KeyError names it.
+    """
+    mapping = flax_to_hf_mapping(flax_template)
+    flat: Dict[Tuple[str, ...], Dict[str, np.ndarray]] = {}
+    for hf_name, (path, leaf) in mapping.items():
+        if hf_name not in state_dict:
+            raise KeyError(f"missing weight in torch checkpoint: {hf_name}")
+        tmpl = flat  # walk/create
+        node = flat.setdefault(path, {})
+        template_leaf = _get_template_leaf(flax_template, path, leaf)
+        node[leaf] = _leaf_from_torch(leaf, template_leaf, state_dict[hf_name])
+    nested: Dict[str, Any] = {}
+    for path, leaves in flat.items():
+        node = nested
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node.setdefault(path[-1], {}).update(leaves)
+    return nested
+
+
+def _get_template_leaf(tree, path, leaf):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node[leaf]
+
+
+def vae_to_torch(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """VAE Flax params → HF AutoencoderKL state_dict."""
+    sd = {}
+    for path, leaf, value in _walk_leaves(params):
+        hf_mod = _flax_path_to_hf_name(path)
+        hf_leaf, v = _leaf_to_torch(leaf, value)
+        sd[f"{hf_mod}.{hf_leaf}"] = v
+    return sd
+
+
+def vae_from_torch(state_dict: Mapping[str, Any],
+                   flax_template: Dict[str, Any]) -> Dict[str, Any]:
+    return unet_from_torch(state_dict, flax_template)

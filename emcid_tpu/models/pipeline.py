@@ -1,0 +1,240 @@
+"""Stable-Diffusion text→image pipeline: seeded, batched, mesh-shardable.
+
+Replaces the reference's per-image ``pipe([prompt], generator=manual_seed(s))``
+loops (run_emcid.py:84-95, emcid_test.py:1399-1411, eval_coco.py:40-70) with
+a single jit-compiled sampling program:
+
+* prompt encoding, CFG-paired UNet denoising (cond/uncond in one batched
+  forward), the full ``lax.scan`` over inference steps, and VAE decode are
+  one XLA program — no per-step python, no host sync until the final image;
+* seeding is per-image: latents are drawn from ``jax.random.PRNGKey(seed)``
+  per image, so any (prompt, seed) pair is reproducible regardless of batch
+  composition or device count (the reference's determinism contract,
+  SURVEY.md §4.3 — RNG streams differ from torch by construction);
+* the image batch axis shards over the device mesh (parallel/mesh.py): eval
+  generation — the #1 hot loop (SURVEY.md §3, "hot loops ranked") — scales
+  linearly over chips with zero communication inside the scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emcid_tpu.models.scheduler import (
+    Schedule,
+    ddim_step,
+    ddim_timesteps,
+    pndm_init,
+    pndm_step,
+    sd_schedule,
+)
+
+
+@dataclass
+class SDComponents:
+    """Bundle of the models forming one Stable Diffusion pipeline."""
+
+    tokenizer: Any
+    text_encoder: Any  # CLIPTextEncoder module
+    text_params: Any
+    unet: Any  # UNet2DCondition module
+    unet_params: Any
+    vae: Any  # AutoencoderKL module
+    vae_params: Any
+    schedule: Schedule = field(default_factory=sd_schedule)
+    scaling_factor: float = 0.18215
+    latent_channels: int = 4
+    vae_scale: int = 8
+
+    def replace_text_params(self, new_params) -> "SDComponents":
+        """Functional text-encoder swap — the reference's edit/restore cycle
+        (refact_benchmark_eval.py:163-168) is just two of these."""
+        import dataclasses
+
+        return dataclasses.replace(self, text_params=new_params)
+
+    def replace_unet_params(self, new_params) -> "SDComponents":
+        import dataclasses
+
+        return dataclasses.replace(self, unet_params=new_params)
+
+
+def encode_prompts(components: SDComponents, prompts: Sequence[str],
+                   max_length: Optional[int] = None) -> jnp.ndarray:
+    """Prompts → (B, S, H) text-encoder hidden states (SD conditioning)."""
+    tok = components.tokenizer
+    enc = tok(list(prompts), padding="max_length", truncation=True,
+              max_length=max_length or tok.model_max_length)
+    out = components.text_encoder.apply(
+        {"params": components.text_params}, jnp.asarray(enc["input_ids"])
+    )
+    return out.last_hidden_state
+
+
+def initial_latents(seeds: Sequence[int], height: int, width: int,
+                    channels: int = 4, vae_scale: int = 8,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """Per-image seeded latents (B, h/8, w/8, C)."""
+    shape = (height // vae_scale, width // vae_scale, channels)
+    keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+    return jax.vmap(lambda k: jax.random.normal(k, shape, dtype))(keys)
+
+
+# Compiled samplers keyed by (unet config id, steps, sampler, guidance on/off)
+_SAMPLER_CACHE: Dict[Any, Any] = {}
+
+
+def _get_sampler(unet, schedule: Schedule, num_steps: int, sampler: str,
+                 do_cfg: bool):
+    key = (unet.config, str(unet.dtype), schedule.num_train_timesteps,
+           num_steps, sampler, do_cfg)
+    if key in _SAMPLER_CACHE:
+        return _SAMPLER_CACHE[key]
+
+    ts = ddim_timesteps(schedule, num_steps)
+    ts_prev = np.concatenate([ts[1:], [-1]]).astype(np.int32)
+
+    @jax.jit
+    def run(unet_params, latents, ctx_cond, ctx_uncond, guidance_scale):
+        B = latents.shape[0]
+
+        def unet_eps(lat, t):
+            if do_cfg:
+                lat2 = jnp.concatenate([lat, lat], axis=0)
+                ctx2 = jnp.concatenate([ctx_uncond, ctx_cond], axis=0)
+                eps2 = unet.apply(
+                    {"params": unet_params}, lat2,
+                    jnp.broadcast_to(t, (2 * B,)), ctx2,
+                ).sample
+                eps_u, eps_c = jnp.split(eps2, 2, axis=0)
+                return eps_u + guidance_scale * (eps_c - eps_u)
+            return unet.apply(
+                {"params": unet_params}, lat, jnp.broadcast_to(t, (B,)),
+                ctx_cond,
+            ).sample
+
+        if sampler == "ddim":
+
+            def body(lat, t_pair):
+                t, t_prev = t_pair
+                eps = unet_eps(lat, t)
+                return ddim_step(schedule, lat, eps, t, t_prev), None
+
+            latents, _ = jax.lax.scan(
+                body, latents,
+                (jnp.asarray(ts), jnp.asarray(ts_prev)),
+            )
+        elif sampler == "pndm":
+
+            def body(carry, t_pair):
+                lat, state = carry
+                t, t_prev = t_pair
+                eps = unet_eps(lat, t)
+                state, lat = pndm_step(schedule, state, lat, eps, t, t_prev)
+                return (lat, state), None
+
+            (latents, _), _ = jax.lax.scan(
+                body, (latents, pndm_init(latents.shape, latents.dtype)),
+                (jnp.asarray(ts), jnp.asarray(ts_prev)),
+            )
+        else:
+            raise ValueError(f"unknown sampler {sampler!r}")
+        return latents
+
+    _SAMPLER_CACHE[key] = run
+    return run
+
+
+def sample_latents(
+    components: SDComponents,
+    prompts: Sequence[str],
+    seeds: Sequence[int],
+    *,
+    negative_prompts: Optional[Sequence[str]] = None,
+    num_inference_steps: int = 50,
+    guidance_scale: float = 7.5,
+    height: int = 512,
+    width: int = 512,
+    sampler: str = "pndm",
+) -> jnp.ndarray:
+    """Denoise to final latents (pre-VAE)."""
+    assert len(prompts) == len(seeds), "one seed per prompt"
+    ctx_cond = encode_prompts(components, prompts)
+    do_cfg = guidance_scale > 1.0
+    if do_cfg:
+        neg = negative_prompts if negative_prompts is not None else [""] * len(prompts)
+        ctx_uncond = encode_prompts(components, neg)
+    else:
+        ctx_uncond = ctx_cond
+    latents = initial_latents(seeds, height, width,
+                              components.latent_channels, components.vae_scale)
+    run = _get_sampler(components.unet, components.schedule,
+                       num_inference_steps, sampler, do_cfg)
+    return run(components.unet_params, latents, ctx_cond, ctx_uncond,
+               jnp.float32(guidance_scale))
+
+
+def decode_latents(components: SDComponents, latents: jnp.ndarray) -> np.ndarray:
+    """Latents → uint8 RGB images (B, H, W, 3)."""
+
+    @jax.jit
+    def dec(vae_params, lat):
+        img = components.vae.apply(
+            {"params": vae_params}, lat / components.scaling_factor,
+            method="decode",
+        )
+        return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+
+    img = dec(components.vae_params, latents)
+    return np.asarray(jnp.round(img * 255).astype(jnp.uint8))
+
+
+def encode_images(components: SDComponents, images: np.ndarray,
+                  rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """uint8/float RGB (B, H, W, 3) → scaled latents (Stage-1 training-image
+    encoding, reference compute_z.py:498)."""
+    x = jnp.asarray(images)
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
+    x = x * 2.0 - 1.0
+
+    @jax.jit
+    def enc(vae_params, x, key):
+        dist = components.vae.apply({"params": vae_params}, x, method="encode")
+        z = dist.sample(key) if key is not None else dist.mode()
+        return z * components.scaling_factor
+
+    return enc(components.vae_params, x, rng)
+
+
+def generate(
+    components: SDComponents,
+    prompts: Sequence[str],
+    seeds: Sequence[int],
+    batch_size: Optional[int] = None,
+    **kwargs,
+) -> np.ndarray:
+    """End-to-end text→image.  Chunks the prompt list into fixed-size batches
+    (one compiled program reused across chunks; the last chunk is padded so
+    shapes stay static)."""
+    prompts, seeds = list(prompts), list(seeds)
+    n = len(prompts)
+    bs = batch_size or n
+    images = []
+    for i in range(0, n, bs):
+        chunk_p = prompts[i:i + bs]
+        chunk_s = seeds[i:i + bs]
+        pad = bs - len(chunk_p)
+        if pad and i > 0:  # keep shapes static across chunks
+            chunk_p = chunk_p + [chunk_p[-1]] * pad
+            chunk_s = chunk_s + [0] * pad
+        lat = sample_latents(components, chunk_p, chunk_s, **kwargs)
+        imgs = decode_latents(components, lat)
+        images.append(imgs[: len(prompts[i:i + bs])])
+    return np.concatenate(images, axis=0)

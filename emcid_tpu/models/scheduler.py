@@ -1,0 +1,173 @@
+"""Diffusion noise schedules and samplers (DDPM / DDIM / PNDM).
+
+The reference uses diffusers schedulers: DDPMScheduler for Stage-1 noising
+(compute_z.py:378) and the SD pipeline default PNDM for sampling.  Here the
+schedule math is implemented directly as stateless jnp functions: a
+``Schedule`` holds the precomputed beta/alpha tables; samplers are pure
+``(state, latents, eps) -> (state, latents)`` steps so a full sampling run is
+a ``lax.scan`` inside one jit — no per-step python, no host sync.
+
+SD v1.x / SDXL schedule: scaled_linear betas 0.00085→0.012 over 1000 steps.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class Schedule:
+    """Precomputed diffusion schedule tables (host numpy; tiny)."""
+
+    betas: np.ndarray
+    alphas_cumprod: np.ndarray
+    num_train_timesteps: int
+    prediction_type: str = "epsilon"
+
+    @classmethod
+    def scaled_linear(cls, beta_start: float = 0.00085, beta_end: float = 0.012,
+                      num_train_timesteps: int = 1000,
+                      prediction_type: str = "epsilon") -> "Schedule":
+        betas = (
+            np.linspace(beta_start**0.5, beta_end**0.5, num_train_timesteps)
+            ** 2
+        ).astype(np.float64)
+        alphas_cumprod = np.cumprod(1.0 - betas)
+        return cls(betas.astype(np.float32),
+                   alphas_cumprod.astype(np.float32),
+                   num_train_timesteps, prediction_type)
+
+    @classmethod
+    def linear(cls, beta_start: float = 0.0001, beta_end: float = 0.02,
+               num_train_timesteps: int = 1000) -> "Schedule":
+        betas = np.linspace(beta_start, beta_end, num_train_timesteps)
+        alphas_cumprod = np.cumprod(1.0 - betas)
+        return cls(betas.astype(np.float32),
+                   alphas_cumprod.astype(np.float32), num_train_timesteps)
+
+
+def sd_schedule() -> Schedule:
+    return Schedule.scaled_linear()
+
+
+def add_noise(schedule: Schedule, x0: jnp.ndarray, noise: jnp.ndarray,
+              timesteps: jnp.ndarray) -> jnp.ndarray:
+    """Forward process q(x_t | x_0) (DDPM): sqrt(acp)*x0 + sqrt(1-acp)*eps."""
+    acp = jnp.asarray(schedule.alphas_cumprod)[timesteps]
+    shape = (-1,) + (1,) * (x0.ndim - 1)
+    sqrt_acp = jnp.sqrt(acp).reshape(shape)
+    sqrt_1macp = jnp.sqrt(1.0 - acp).reshape(shape)
+    return sqrt_acp * x0 + sqrt_1macp * noise
+
+
+def velocity_target(schedule: Schedule, x0: jnp.ndarray, noise: jnp.ndarray,
+                    timesteps: jnp.ndarray) -> jnp.ndarray:
+    """v-prediction target: sqrt(acp)*eps − sqrt(1−acp)*x0."""
+    acp = jnp.asarray(schedule.alphas_cumprod)[timesteps]
+    shape = (-1,) + (1,) * (x0.ndim - 1)
+    return (
+        jnp.sqrt(acp).reshape(shape) * noise
+        - jnp.sqrt(1.0 - acp).reshape(shape) * x0
+    )
+
+
+def ddim_timesteps(schedule: Schedule, num_inference_steps: int,
+                   leading: bool = True) -> np.ndarray:
+    """Descending inference timesteps (diffusers 'leading' spacing)."""
+    step = schedule.num_train_timesteps // num_inference_steps
+    if leading:
+        ts = (np.arange(num_inference_steps) * step).round()[::-1] + 1
+        ts = np.clip(ts, 0, schedule.num_train_timesteps - 1)
+    else:
+        ts = np.linspace(0, schedule.num_train_timesteps - 1,
+                         num_inference_steps).round()[::-1]
+    return ts.astype(np.int32)
+
+
+def ddim_step(schedule: Schedule, latents: jnp.ndarray, eps: jnp.ndarray,
+              t: jnp.ndarray, t_prev: jnp.ndarray,
+              eta: float = 0.0) -> jnp.ndarray:
+    """One deterministic DDIM update x_t → x_{t_prev} (eta=0)."""
+    acp = jnp.asarray(schedule.alphas_cumprod)
+    a_t = acp[t]
+    a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
+    if schedule.prediction_type == "epsilon":
+        x0 = (latents - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+        eps_pred = eps
+    elif schedule.prediction_type == "v_prediction":
+        x0 = jnp.sqrt(a_t) * latents - jnp.sqrt(1.0 - a_t) * eps
+        eps_pred = jnp.sqrt(a_t) * eps + jnp.sqrt(1.0 - a_t) * latents
+    else:
+        raise ValueError(schedule.prediction_type)
+    return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps_pred
+
+
+def ddpm_step(schedule: Schedule, latents: jnp.ndarray, eps: jnp.ndarray,
+              t: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
+    """One ancestral DDPM update (variance_type='fixed_small')."""
+    betas = jnp.asarray(schedule.betas)
+    acp = jnp.asarray(schedule.alphas_cumprod)
+    beta_t = betas[t]
+    a_t = 1.0 - beta_t
+    acp_t = acp[t]
+    acp_prev = jnp.where(t > 0, acp[jnp.maximum(t - 1, 0)], 1.0)
+    x0 = (latents - jnp.sqrt(1.0 - acp_t) * eps) / jnp.sqrt(acp_t)
+    x0 = jnp.clip(x0, -1.0, 1.0)
+    coef_x0 = jnp.sqrt(acp_prev) * beta_t / (1.0 - acp_t)
+    coef_xt = jnp.sqrt(a_t) * (1.0 - acp_prev) / (1.0 - acp_t)
+    mean = coef_x0 * x0 + coef_xt * latents
+    var = beta_t * (1.0 - acp_prev) / (1.0 - acp_t)
+    return mean + jnp.where(t > 0, jnp.sqrt(var), 0.0) * noise
+
+
+class PNDMState(NamedTuple):
+    """Rolling eps history for the PNDM linear multistep region."""
+
+    ets: jnp.ndarray  # (4, *latent_shape) ring buffer of eps predictions
+    counter: jnp.ndarray  # int32 number of steps taken
+
+
+def pndm_init(latent_shape, dtype=jnp.float32) -> PNDMState:
+    return PNDMState(
+        ets=jnp.zeros((4,) + tuple(latent_shape), dtype=dtype),
+        counter=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def pndm_step(schedule: Schedule, state: PNDMState, latents: jnp.ndarray,
+              eps: jnp.ndarray, t: jnp.ndarray, t_prev: jnp.ndarray
+              ) -> Tuple[PNDMState, jnp.ndarray]:
+    """PNDM (skip-prk variant, as the SD pipeline configures it): plain DDIM
+    for the first step, then 2nd/3rd/4th-order Adams–Bashforth on the eps
+    history.  Branchless lax.switch on the warm-up counter so the whole
+    sampler scans."""
+    ets = jnp.concatenate([state.ets[1:], eps[None]], axis=0)
+
+    def order1(_):
+        return eps
+
+    def order2(_):
+        return (3 * ets[3] - ets[2]) / 2
+
+    def order3(_):
+        return (23 * ets[3] - 16 * ets[2] + 5 * ets[1]) / 12
+
+    def order4(_):
+        return (55 * ets[3] - 59 * ets[2] + 37 * ets[1] - 9 * ets[0]) / 24
+
+    order = jnp.minimum(state.counter, 3)
+    eps_avg = jax.lax.switch(order, [order1, order2, order3, order4], None)
+
+    acp = jnp.asarray(schedule.alphas_cumprod)
+    a_t = acp[t]
+    a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
+    # diffusers PNDM transfer formula (equivalent to DDIM with eps_avg)
+    x0 = (latents - jnp.sqrt(1.0 - a_t) * eps_avg) / jnp.sqrt(a_t)
+    prev = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps_avg
+    return PNDMState(ets=ets, counter=state.counter + 1), prev

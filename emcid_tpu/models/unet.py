@@ -1,0 +1,407 @@
+"""SD-style conditional UNet (UNet2DConditionModel equivalent) in Flax.
+
+Built tpu-first rather than ported: NHWC layout throughout (TPU conv
+layout), static shapes, bf16-friendly compute with f32 softmax/normalization,
+and two functional instrumentation seams replacing torch hooks:
+
+* **capture** — edit-relevant activations are exposed via ``self.sow`` into
+  the ``intermediates`` collection (cross-attn K/V inputs/outputs, ff.net.2
+  and conv2 inputs/outputs).  Callers opt in with
+  ``mutable=["intermediates"]``; otherwise sow is free.  This serves the
+  cross-attn covariance sweep (reference layer_stats.py:333-427) and the
+  UNet-edit key extraction (reference compute_ks.py:157-328).
+* **injection** — an optional ``inject`` dict maps HF-style module paths
+  (e.g. ``"up_blocks.3.attentions.2.transformer_blocks.0.attn2"``) to
+  additive deltas applied at that module's output; the Stage-1 UNet delta
+  optimization (reference compute_delta_unet, compute_z.py:1778-1988)
+  differentiates through these entries.
+
+Module naming mirrors HF (``down_blocks_0/attentions_1/transformer_blocks_0/
+attn2/to_k``) so weight conversion is mechanical and the reference's
+editing-layer name templates (globals.yml UNET_EDIT_TEMPLATES,
+hparams rewrite_module_tmp dicts) resolve directly.
+
+HF quirk kept: ``attention_head_dim`` in SD configs is the number of heads
+(320/8 = 40-dim heads for SD1.x), not the head dim.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from emcid_tpu.models.configs import UNetConfig
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int,
+                       flip_sin_to_cos: bool = True,
+                       freq_shift: float = 0.0,
+                       max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal timestep features (B,) → (B, dim)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+        / (half - freq_shift)
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def _inject_out(inject: Optional[Dict[str, jnp.ndarray]], name: str,
+                value: jnp.ndarray) -> jnp.ndarray:
+    if inject is not None and name in inject:
+        return value + inject[name].astype(value.dtype)
+    return value
+
+
+class ResnetBlock2D(nn.Module):
+    out_channels: int
+    norm_num_groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, *, path: str = "", inject=None):
+        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5,
+                         dtype=self.dtype, name="norm1")(x)
+        h = jax.nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype,
+                     name="time_emb_proj")(jax.nn.silu(temb))
+        h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5,
+                         dtype=self.dtype, name="norm2")(h)
+        h = jax.nn.silu(h)
+        # conv2 is an editable layer (UNET_EDIT_TEMPLATES "conv-res")
+        self.sow("intermediates", "conv2_in", h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv2")(h)
+        h = _inject_out(inject, f"{path}.conv2", h)
+        self.sow("intermediates", "conv2_out", h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention over NLC tokens; cross when context is given."""
+
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, *, path: str = "", inject=None):
+        ctx = x if context is None else context
+        inner = x.shape[-1]
+        head_dim = inner // self.num_heads
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        self.sow("intermediates", "kv_in", ctx)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        self.sow("intermediates", "k_out", k)
+        self.sow("intermediates", "v_out", v)
+        B, N, _ = x.shape
+        M = ctx.shape[1]
+        q = q.reshape(B, N, self.num_heads, head_dim)
+        k = k.reshape(B, M, self.num_heads, head_dim)
+        v = v.reshape(B, M, self.num_heads, head_dim)
+        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (head_dim**-0.5)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", probs, v).reshape(B, N, inner)
+        # to_out.0 in HF (Dropout is to_out.1 — identity at inference)
+        out = nn.Dense(inner, dtype=self.dtype, name="to_out_0")(out)
+        out = _inject_out(inject, path, out)
+        return out
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward: proj to 2×(4·dim), gate, project back."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, path: str = "", inject=None):
+        dim = x.shape[-1]
+        inner = dim * 4
+        # HF: ff.net.0.proj (GEGLU), ff.net.2 (Linear)
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * jax.nn.gelu(gate, approximate=False)
+        self.sow("intermediates", "ff2_in", h)
+        h = nn.Dense(dim, dtype=self.dtype, name="net_2")(h)
+        h = _inject_out(inject, f"{path}.net.2", h)
+        self.sow("intermediates", "ff2_out", h)
+        return h
+
+
+class BasicTransformerBlock(nn.Module):
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, *, path: str = "", inject=None):
+        attn1 = CrossAttention(self.num_heads, dtype=self.dtype, name="attn1")
+        attn2 = CrossAttention(self.num_heads, dtype=self.dtype, name="attn2")
+        ff = FeedForward(dtype=self.dtype, name="ff")
+        x = x + attn1(
+            nn.LayerNorm(dtype=self.dtype, name="norm1")(x),
+            path=f"{path}.attn1", inject=inject,
+        )
+        x = x + attn2(
+            nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context,
+            path=f"{path}.attn2", inject=inject,
+        )
+        x = x + ff(
+            nn.LayerNorm(dtype=self.dtype, name="norm3")(x),
+            path=f"{path}.ff", inject=inject,
+        )
+        return x
+
+
+class Transformer2D(nn.Module):
+    num_heads: int
+    depth: int = 1
+    norm_num_groups: int = 32
+    use_linear_projection: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, *, path: str = "", inject=None):
+        B, H, W, C = x.shape
+        residual = x
+        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
+                         dtype=self.dtype, name="norm")(x)
+        if self.use_linear_projection:
+            h = h.reshape(B, H * W, C)
+            h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
+        else:
+            h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_in")(h)
+            h = h.reshape(B, H * W, C)
+        for d in range(self.depth):
+            h = BasicTransformerBlock(
+                self.num_heads, dtype=self.dtype, name=f"transformer_blocks_{d}"
+            )(h, context, path=f"{path}.transformer_blocks.{d}", inject=inject)
+        if self.use_linear_projection:
+            h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+            h = h.reshape(B, H, W, C)
+        else:
+            h = h.reshape(B, H, W, C)
+            h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return h + residual
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # HF pads (0,1,0,1) then VALID-stride-2 — keep the asymmetric pad for
+        # weight-exactness with converted checkpoints.
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                       padding="VALID", dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                       dtype=self.dtype, name="conv")(x)
+
+
+class UNetOutput(NamedTuple):
+    sample: jnp.ndarray
+
+
+class UNet2DCondition(nn.Module):
+    """Conditional UNet.  ``__call__(latents NHWC, timesteps (B,), context
+    (B, S, D)[, added_cond]) → eps prediction NHWC``."""
+
+    config: UNetConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        encoder_hidden_states: jnp.ndarray,
+        added_cond: Optional[Dict[str, jnp.ndarray]] = None,
+        *,
+        inject: Optional[Dict[str, jnp.ndarray]] = None,
+    ) -> UNetOutput:
+        cfg = self.config
+        ctx = encoder_hidden_states
+        if timesteps.ndim == 0:
+            timesteps = timesteps[None]
+        if timesteps.shape[0] != sample.shape[0]:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+
+        # --- time (+ SDXL added) embeddings ------------------------------
+        t_emb_dim = cfg.block_out_channels[0]
+        temb_dim = t_emb_dim * 4
+        t_feat = timestep_embedding(timesteps, t_emb_dim,
+                                    cfg.flip_sin_to_cos, cfg.freq_shift)
+        temb = nn.Dense(temb_dim, dtype=self.dtype,
+                        name="time_embedding_linear_1")(t_feat.astype(self.dtype))
+        temb = nn.Dense(temb_dim, dtype=self.dtype,
+                        name="time_embedding_linear_2")(jax.nn.silu(temb))
+
+        if cfg.addition_embed_type == "text_time":
+            # SDXL: pooled text embed (B, D_pool) + micro-conds (B, 6)
+            text_embeds = added_cond["text_embeds"]
+            time_ids = added_cond["time_ids"]
+            tid = timestep_embedding(
+                time_ids.reshape(-1), cfg.addition_time_embed_dim,
+                cfg.flip_sin_to_cos, cfg.freq_shift,
+            ).reshape(text_embeds.shape[0], -1)
+            add = jnp.concatenate([text_embeds, tid.astype(text_embeds.dtype)], axis=-1)
+            aemb = nn.Dense(temb_dim, dtype=self.dtype,
+                            name="add_embedding_linear_1")(add.astype(self.dtype))
+            aemb = nn.Dense(temb_dim, dtype=self.dtype,
+                            name="add_embedding_linear_2")(jax.nn.silu(aemb))
+            temb = temb + aemb
+
+        use_linear = cfg.addition_embed_type == "text_time"  # SDXL convention
+
+        # --- down path ----------------------------------------------------
+        h = nn.Conv(cfg.block_out_channels[0], (3, 3),
+                    padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="conv_in")(sample)
+        skips = [h]
+        n_levels = len(cfg.block_out_channels)
+        for lvl, block_type in enumerate(cfg.down_block_types):
+            out_ch = cfg.block_out_channels[lvl]
+            has_attn = block_type == "CrossAttnDownBlock2D"
+            bpath = f"down_blocks.{lvl}"
+            for j in range(cfg.layers_per_block):
+                h = ResnetBlock2D(
+                    out_ch, cfg.norm_num_groups, dtype=self.dtype,
+                    name=f"down_blocks_{lvl}_resnets_{j}",
+                )(h, temb, path=f"{bpath}.resnets.{j}", inject=inject)
+                if has_attn:
+                    h = Transformer2D(
+                        cfg.attention_head_dim[lvl],
+                        depth=cfg.transformer_layers_per_block[lvl],
+                        norm_num_groups=cfg.norm_num_groups,
+                        use_linear_projection=use_linear,
+                        dtype=self.dtype,
+                        name=f"down_blocks_{lvl}_attentions_{j}",
+                    )(h, ctx, path=f"{bpath}.attentions.{j}", inject=inject)
+                skips.append(h)
+            if lvl < n_levels - 1:
+                h = Downsample2D(out_ch, dtype=self.dtype,
+                                 name=f"down_blocks_{lvl}_downsamplers_0")(h)
+                skips.append(h)
+
+        # --- mid ----------------------------------------------------------
+        mid_ch = cfg.block_out_channels[-1]
+        h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=self.dtype,
+                          name="mid_block_resnets_0")(
+            h, temb, path="mid_block.resnets.0", inject=inject)
+        h = Transformer2D(
+            cfg.attention_head_dim[-1],
+            depth=cfg.transformer_layers_per_block[-1],
+            norm_num_groups=cfg.norm_num_groups,
+            use_linear_projection=use_linear,
+            dtype=self.dtype, name="mid_block_attentions_0",
+        )(h, ctx, path="mid_block.attentions.0", inject=inject)
+        h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=self.dtype,
+                          name="mid_block_resnets_1")(
+            h, temb, path="mid_block.resnets.1", inject=inject)
+
+        # --- up path ------------------------------------------------------
+        rev_ch = list(reversed(cfg.block_out_channels))
+        for lvl, block_type in enumerate(cfg.up_block_types):
+            out_ch = rev_ch[lvl]
+            has_attn = block_type == "CrossAttnUpBlock2D"
+            bpath = f"up_blocks.{lvl}"
+            for j in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResnetBlock2D(
+                    out_ch, cfg.norm_num_groups, dtype=self.dtype,
+                    name=f"up_blocks_{lvl}_resnets_{j}",
+                )(h, temb, path=f"{bpath}.resnets.{j}", inject=inject)
+                if has_attn:
+                    h = Transformer2D(
+                        cfg.attention_head_dim[n_levels - 1 - lvl],
+                        depth=cfg.transformer_layers_per_block[n_levels - 1 - lvl],
+                        norm_num_groups=cfg.norm_num_groups,
+                        use_linear_projection=use_linear,
+                        dtype=self.dtype,
+                        name=f"up_blocks_{lvl}_attentions_{j}",
+                    )(h, ctx, path=f"{bpath}.attentions.{j}", inject=inject)
+            if lvl < n_levels - 1:
+                h = Upsample2D(out_ch, dtype=self.dtype,
+                               name=f"up_blocks_{lvl}_upsamplers_0")(h)
+
+        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
+                         dtype=self.dtype, name="conv_norm_out")(h)
+        h = jax.nn.silu(h)
+        h = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv_out")(h)
+        return UNetOutput(sample=h)
+
+    def init_params(self, rng, batch: int = 1, context_len: int = 77):
+        cfg = self.config
+        sample = jnp.zeros(
+            (batch, cfg.sample_size, cfg.sample_size, cfg.in_channels),
+            dtype=jnp.float32,
+        )
+        ctx = jnp.zeros((batch, context_len, cfg.cross_attention_dim),
+                        dtype=jnp.float32)
+        t = jnp.zeros((batch,), dtype=jnp.int32)
+        added = None
+        if cfg.addition_embed_type == "text_time":
+            pool_dim = (cfg.projection_class_embeddings_input_dim
+                        - 6 * cfg.addition_time_embed_dim)
+            added = {
+                "text_embeds": jnp.zeros((batch, pool_dim), dtype=jnp.float32),
+                "time_ids": jnp.zeros((batch, 6), dtype=jnp.float32),
+            }
+        return self.init(rng, sample, t, ctx, added)["params"]
+
+
+def cross_attn_kv_layer_names(config: UNetConfig) -> list:
+    """All cross-attn to_k/to_v module names in HF order (the 32 editable
+    projections for SD1.x — reference layer_stats.py:470-495)."""
+    names = []
+    n_levels = len(config.block_out_channels)
+
+    def block_names(prefix, lvl, n_attn, depth):
+        out = []
+        for j in range(n_attn):
+            for d in range(depth):
+                base = f"{prefix}.attentions.{j}.transformer_blocks.{d}.attn2"
+                out.append(f"{base}.to_k")
+                out.append(f"{base}.to_v")
+        return out
+
+    for lvl, bt in enumerate(config.down_block_types):
+        if bt == "CrossAttnDownBlock2D":
+            names += block_names(f"down_blocks.{lvl}", lvl,
+                                 config.layers_per_block,
+                                 config.transformer_layers_per_block[lvl])
+    names += block_names("mid_block", n_levels - 1, 1,
+                         config.transformer_layers_per_block[-1])
+    for lvl, bt in enumerate(config.up_block_types):
+        if bt == "CrossAttnUpBlock2D":
+            names += block_names(f"up_blocks.{lvl}", n_levels - 1 - lvl,
+                                 config.layers_per_block + 1,
+                                 config.transformer_layers_per_block[n_levels - 1 - lvl])
+    return names
