@@ -1,0 +1,200 @@
+"""High-level edit orchestration: the functional equivalent of the
+reference's ``apply_emcid_to_text_encoder`` end-to-end flow
+(emcid_main.py:769-815 + compute_z + layer_stats), wired for pipelines.
+
+``apply_emcid(components, requests, hparams)`` resolves, in order:
+  1. covariances per edited layer — stats npz cache → caption sweep →
+     synthetic-caption fallback (offline smoke; warns);
+  2. per-concept z vectors — npz cache → Stage-1 optimization in fixed-size
+     concept blocks (vmapped, one compiled program reused per block);
+  3. the fused Stage-2 insert;
+returning (edited components, deltas).  The caller keeps the original
+components for restore (functional params — the reference's
+weights_copy dance, emcid_main.py:858-865/1076-1078, is free here).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emcid_tpu.engine.compute_z import (
+    ConceptBatch,
+    ZOptimizer,
+    prepare_concept_batch,
+)
+from emcid_tpu.engine.emcid import (
+    execute_emcid_text_encoder,
+    load_z_list,
+    save_z_cache,
+)
+from emcid_tpu.engine.layer_stats import get_cov_text_encoder
+from emcid_tpu.engine.training_images import training_latents_for_requests
+from emcid_tpu.globals_cfg import STATS_DIR
+from emcid_tpu.models.pipeline import SDComponents
+
+
+def resolve_covariances(
+    components: SDComponents,
+    hparams,
+    stats_dir=None,
+    captions: Optional[Sequence[str]] = None,
+    allow_synthetic: bool = True,
+    verbose: bool = True,
+) -> List[jnp.ndarray]:
+    """Per-layer second moments: cache → provided captions → synthetic."""
+    covs = []
+    for layer in hparams.layers:
+        layer_name = hparams.rewrite_module_tmp.format(layer)
+        try:
+            C = get_cov_text_encoder(
+                components.text_encoder, components.text_params,
+                components.tokenizer, layer_name,
+                mom2_dataset=hparams.mom2_dataset,
+                mom2_n_samples=hparams.mom2_n_samples,
+                mom2_dtype=hparams.mom2_dtype,
+                stat_dir=stats_dir or STATS_DIR,
+                captions=captions,
+                verbose=verbose,
+            )
+        except FileNotFoundError:
+            if not allow_synthetic:
+                raise
+            if verbose:
+                print(
+                    f"[emcid_tpu] no stats cache for {layer_name} and no "
+                    "caption corpus — computing covariance over a synthetic "
+                    "corpus (smoke-run fallback; supply data/ccs_filtered.json "
+                    "for faithful statistics)"
+                )
+            from emcid_tpu.dsets.stat_dataset import make_synthetic_captions
+
+            C = get_cov_text_encoder(
+                components.text_encoder, components.text_params,
+                components.tokenizer, layer_name,
+                mom2_dataset="synthetic",
+                mom2_n_samples=min(hparams.mom2_n_samples, 2000),
+                mom2_dtype=hparams.mom2_dtype,
+                stat_dir=stats_dir or STATS_DIR,
+                captions=make_synthetic_captions(
+                    min(hparams.mom2_n_samples, 2000)
+                ),
+                verbose=verbose,
+            )
+        covs.append(C)
+    return covs
+
+
+def compute_zs_for_requests(
+    components: SDComponents,
+    requests: Sequence[Dict],
+    hparams,
+    cache_name: Optional[str] = None,
+    block_size: int = 32,
+    rng_seed: int = 0,
+    num_inference_steps: int = 50,
+    fim: Optional[np.ndarray] = None,
+    verbose: bool = True,
+) -> np.ndarray:
+    """All concepts' z vectors (R, T, H): cache hits + blocked Stage-1 runs."""
+    z_list, missing = load_z_list(requests, cache_name, hparams)
+    if missing:
+        optz = ZOptimizer(
+            components.text_encoder, components.unet, components.schedule,
+            hparams, layer=hparams.layers[-1], fim=fim,
+        )
+        res = components.unet.config.sample_size * components.vae_scale
+        for start in range(0, len(missing), block_size):
+            idxs = missing[start:start + block_size]
+            block = [requests[i] for i in idxs]
+            # pad the block to the full size so one compiled program serves
+            # every block; padded results are dropped
+            pad = 0
+            if start + block_size > len(missing) and len(block) < block_size \
+                    and start > 0:
+                pad = block_size - len(block)
+                block = block + [block[-1]] * pad
+            t0 = time.time()
+            mean, logvar = training_latents_for_requests(
+                components, block, hparams, height=res, width=res,
+                num_inference_steps=num_inference_steps, verbose=verbose,
+            )
+            arrays, _, _ = prepare_concept_batch(
+                components.tokenizer, block, hparams
+            )
+            batch = ConceptBatch(
+                source_ids=jnp.asarray(arrays["source_ids"]),
+                dest_ids=jnp.asarray(arrays["dest_ids"]),
+                inject_mask=jnp.asarray(arrays["inject_mask"]),
+                source_lookup=jnp.asarray(arrays["source_lookup"]),
+                dest_lookup=jnp.asarray(arrays["dest_lookup"]),
+                latents_mean=jnp.asarray(mean),
+                latents_logvar=jnp.asarray(logvar),
+            )
+            zs, delta, z0, losses = optz.run(
+                components.text_params, components.unet_params, batch,
+                jax.random.PRNGKey(rng_seed + start),
+            )
+            zs = np.asarray(zs)
+            if pad:
+                zs = zs[: len(idxs)]
+            for k, i in enumerate(idxs):
+                z_list[i] = zs[k]
+                if cache_name is not None:
+                    save_z_cache(cache_name, requests[i], zs[k], hparams)
+            if verbose:
+                print(
+                    f"stage1 block {start // block_size}: {len(idxs)} concepts "
+                    f"in {time.time() - t0:.1f}s, final loss {float(losses[-1]):.5f}"
+                )
+    stacked = np.stack([np.asarray(z) for z in z_list])
+    if stacked.ndim == 2:
+        stacked = stacked[:, None, :]
+    return stacked
+
+
+def apply_emcid(
+    components: SDComponents,
+    requests: Sequence[Dict],
+    hparams,
+    mom2_weight: Optional[float] = None,
+    edit_weight: Optional[float] = None,
+    cache_name: Optional[str] = None,
+    stats_dir=None,
+    stats_captions: Optional[Sequence[str]] = None,
+    block_size: int = 32,
+    solve_method: str = "f32_ir",
+    num_inference_steps: int = 50,
+    verbose: bool = True,
+) -> Tuple[SDComponents, Dict]:
+    """Full two-stage edit of a pipeline's text encoder.
+
+    Returns (edited_components, deltas).  ``components`` is unchanged
+    (functional restore = keep using it).
+    """
+    t0 = time.time()
+    covs = resolve_covariances(
+        components, hparams, stats_dir=stats_dir, captions=stats_captions,
+        verbose=verbose,
+    )
+    zs = compute_zs_for_requests(
+        components, requests, hparams, cache_name=cache_name,
+        block_size=block_size, num_inference_steps=num_inference_steps,
+        verbose=verbose,
+    )
+    deltas, new_text_params = execute_emcid_text_encoder(
+        components.text_encoder, components.text_params,
+        components.tokenizer, requests, hparams,
+        zs=zs, covs=covs, mom2_weight=mom2_weight, edit_weight=edit_weight,
+        solve_method=solve_method, verbose=verbose,
+    )
+    if verbose:
+        print(
+            f"Edited {len(requests)} concept(s) across layers "
+            f"{list(hparams.layers)} in {time.time() - t0:.1f}s"
+        )
+    return components.replace_text_params(new_text_params), deltas

@@ -328,8 +328,13 @@ def load_hparams(name_or_path: str, hparams_dir=None):
     from emcid_tpu.globals_cfg import HPARAMS_DIR
 
     path = Path(name_or_path)
-    if not path.suffix:
-        path = Path(hparams_dir or HPARAMS_DIR) / f"{name_or_path}.json"
+    # hparam names legitimately contain dots (clamp values like "c-1.5"), so
+    # "has a suffix" is not a reliable path test — resolve by existence.
+    if not path.exists():
+        candidate = Path(hparams_dir or HPARAMS_DIR) / f"{name_or_path}.json"
+        if not candidate.exists() and path.suffix != ".json":
+            candidate = Path(hparams_dir or HPARAMS_DIR) / name_or_path
+        path = candidate
     stem = path.stem
     if stem.startswith("sdxl"):
         return EMCIDXLHyperParams.from_json(path)
