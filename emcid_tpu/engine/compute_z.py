@@ -243,10 +243,19 @@ class ZOptimizer:
                 text_params, src_ids, delta, inj_mask
             )
 
-            def unet_eps(ctx):
+            # rematerialize the UNet forward: the backward (w.r.t. the text
+            # context) recomputes activations instead of storing them — the
+            # vmapped concept batch would otherwise hold every attention
+            # activation of every UNet call (HBM blowup; jax.checkpoint is
+            # the FLOPs-for-memory trade SURVEY.md §0 calls for)
+            @jax.checkpoint
+            def unet_fwd(ctx, noisy, timesteps):
                 return self.unet.apply(
                     {"params": unet_params}, noisy, timesteps, ctx
                 ).sample
+
+            def unet_eps(ctx):
+                return unet_fwd(ctx, noisy, timesteps)
 
             aux = {}
             if hp.no_noise_loss:
