@@ -44,7 +44,7 @@ def main():
     from emcid_tpu.models.unet import UNet2DCondition
     from emcid_tpu.text import make_tiny_tokenizer
 
-    n_concepts = int(os.environ.get("BENCH_CONCEPTS", 16))
+    n_concepts = int(os.environ.get("BENCH_CONCEPTS", 8))
     grad_steps = int(os.environ.get("BENCH_GRAD_STEPS", 100))
     n_prompts = 3
     latent_hw = 64  # 512x512 images

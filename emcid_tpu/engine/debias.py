@@ -1,0 +1,162 @@
+"""Gender debiasing: blended-z insertion with CLIP-ratio factor search
+(reference emcid_main.py:1428-1521 get_factors, 1704-1966 apply/execute
+debias, 1969-2052 cal_insert_deltas).
+
+Per profession request ``{source, dests: [female, male], prompts,
+seed_train}``: Stage-1 computes one z per dest; a gradient-free search then
+finds blend factors f so that inserting ``z = sum_i f_i z_i`` yields a
+CLIP-classified gender ratio near 50/50: generate ``num_samples`` images of
+the source, argmax CLIP probs over the dest texts, step factors against the
+ratio error with a decaying step length.
+
+Functional params make the reference's repeated weights_copy restore dance
+free — every candidate insertion edits a fresh pytree.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emcid_tpu.engine.emcid import execute_emcid_text_encoder
+from emcid_tpu.models.pipeline import SDComponents, generate
+from emcid_tpu.models.vision import CLIPScorer
+
+
+def classify_ratio(
+    scorer: CLIPScorer,
+    images: np.ndarray,
+    dests: Sequence[str],
+) -> List[float]:
+    """Fraction of images whose CLIP argmax lands on each dest text."""
+    logits = np.asarray(scorer.logits_per_image(images, list(dests)))
+    winners = logits.argmax(axis=-1)
+    return [float((winners == i).mean()) for i in range(len(dests))]
+
+
+def get_factors(
+    components: SDComponents,
+    scorer: CLIPScorer,
+    hparams,
+    separate_zs: Sequence[np.ndarray],
+    separate_requests: Sequence[Dict],
+    covs,
+    init_factors: Optional[Sequence[float]] = None,
+    num_samples: int = 25,
+    max_diff: float = 0.02,
+    step_length: float = 0.4,
+    desired_ratios: Optional[Sequence[float]] = None,
+    max_iter: int = 10,
+    mom2_weight=None,
+    edit_weight=None,
+    gen_kwargs: Optional[dict] = None,
+    verbose: bool = True,
+) -> List[float]:
+    """Search blend factors for ONE concept (reference invariant kept: the
+    caller's components are never mutated)."""
+    n = len(separate_requests)
+    factors = list(init_factors) if init_factors else [1.0 / n] * n
+    desired = list(desired_ratios) if desired_ratios else [1.0 / n] * n
+    dests = [r["dest"] for r in separate_requests]
+    base_seed = int(separate_requests[0].get("seed")
+                    or separate_requests[0].get("seed_train") or 0)
+    prompt = "an image of {}".format(separate_requests[0]["source"])
+
+    for it in range(max_iter):
+        step = step_length - step_length / max_iter * it
+        balanced_z = sum(f * np.asarray(z) for f, z in zip(factors, separate_zs))
+        zs = balanced_z[None]  # (1, T, H) or (1, H)
+        if zs.ndim == 2:
+            zs = zs[:, None, :]
+        _, edited_params = execute_emcid_text_encoder(
+            components.text_encoder, components.text_params,
+            components.tokenizer, [separate_requests[0]], hparams,
+            zs=jnp.asarray(zs), covs=covs,
+            mom2_weight=mom2_weight, edit_weight=edit_weight, verbose=False,
+        )
+        edited = components.replace_text_params(edited_params)
+        imgs = generate(
+            edited, [prompt] * num_samples,
+            [base_seed + i for i in range(num_samples)],
+            **(gen_kwargs or {}),
+        )
+        cur = classify_ratio(scorer, imgs, dests)
+        diffs = [c - d for c, d in zip(cur, desired)]
+        if max(abs(d) for d in diffs) <= max_diff:
+            if verbose:
+                print("current ratios:", cur)
+            break
+        factors = [max(f - step * d, 0.0) for f, d in zip(factors, diffs)]
+        total = sum(factors) or 1.0
+        factors = [f / total for f in factors]
+        if verbose:
+            print(f"ratios: {cur}, factors: {factors}")
+    return factors
+
+
+def apply_emcid_to_text_encoder_debias(
+    components: SDComponents,
+    requests: Sequence[Dict],
+    hparams,
+    scorer: CLIPScorer,
+    mom2_weight=None,
+    edit_weight=None,
+    cache_name: Optional[str] = None,
+    recompute_factors: bool = True,
+    max_iter: int = 10,
+    num_samples: int = 25,
+    block_size: int = 32,
+    num_inference_steps: int = 50,
+    gen_kwargs: Optional[dict] = None,
+    stats_dir=None,
+    stats_captions=None,
+    verbose: bool = True,
+) -> Tuple[SDComponents, Dict, List[List[float]]]:
+    """Full debias edit: per profession, per-dest z computation → factor
+    search → one blended multi-concept insert.  Returns
+    (edited components, deltas, factors per request)."""
+    from emcid_tpu.engine.editor import (
+        compute_zs_for_requests,
+        resolve_covariances,
+    )
+
+    covs = resolve_covariances(components, hparams, stats_dir=stats_dir,
+                               captions=stats_captions, verbose=verbose)
+
+    all_factors: List[List[float]] = []
+    balanced_zs: List[np.ndarray] = []
+    for request in requests:
+        separate_requests = [
+            dict(request, dest=d, dests=None) for d in request["dests"]
+        ]
+        zs = compute_zs_for_requests(
+            components, separate_requests, hparams, cache_name=cache_name,
+            block_size=block_size, num_inference_steps=num_inference_steps,
+            verbose=verbose,
+        )  # (n_dests, T, H)
+        separate_zs = [zs[i] for i in range(len(separate_requests))]
+        if recompute_factors:
+            factors = get_factors(
+                components, scorer, hparams, separate_zs, separate_requests,
+                covs, max_iter=max_iter, num_samples=num_samples,
+                mom2_weight=mom2_weight, edit_weight=edit_weight,
+                gen_kwargs=gen_kwargs, verbose=verbose,
+            )
+        else:
+            factors = [1.0 / len(separate_requests)] * len(separate_requests)
+        all_factors.append(factors)
+        balanced_zs.append(
+            sum(f * np.asarray(z) for f, z in zip(factors, separate_zs))
+        )
+
+    zs = np.stack(balanced_zs)  # (R, T, H)
+    deltas, new_params = execute_emcid_text_encoder(
+        components.text_encoder, components.text_params,
+        components.tokenizer, list(requests), hparams,
+        zs=jnp.asarray(zs), covs=covs,
+        mom2_weight=mom2_weight, edit_weight=edit_weight, verbose=verbose,
+    )
+    return components.replace_text_params(new_params), deltas, all_factors

@@ -1,0 +1,278 @@
+"""SDXL dual text-encoder editing
+(reference emcid_main.py:38-106 apply / 1085-1425 execute;
+compute_z.py:651-1037 joint two-encoder z optimization).
+
+Stage 1: one delta per encoder, optimized jointly against the SDXL UNet
+noise loss — the conditioning threads both deltas (context = concat of
+penultimate states of the two *edited* encoders; added text_embeds = edited
+bigG pooled), so both gradients arrive from a single UNet backward.
+
+Stage 2: two independent fused one-pass inserts — encoder 1 with
+``hparams.layers`` / ``mom2_update_weight`` / XL_STATS_DIR1 statistics,
+encoder 2 with ``layers_2`` / ``mom2_update_weight_2`` / XL_STATS_DIR2 —
+each reusing the same engine as the SD path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from emcid_tpu.engine.compute_z import prepare_concept_batch
+from emcid_tpu.engine.emcid import execute_emcid_text_encoder
+from emcid_tpu.hparams import EMCIDHyperParams, EMCIDXLHyperParams
+from emcid_tpu.models.scheduler import add_noise
+from emcid_tpu.models.sdxl import SDXLComponents, sdxl_time_ids
+
+
+def encoder_hparams_view(hparams: EMCIDXLHyperParams, which: int
+                         ) -> EMCIDHyperParams:
+    """Per-encoder EMCIDHyperParams view of the XL hparams."""
+    d = hparams.to_dict()
+    d.pop("layers_2")
+    w2 = d.pop("mom2_update_weight_2")
+    if which == 2:
+        d["layers"] = list(hparams.layers_2)
+        d["mom2_update_weight"] = w2
+    return EMCIDHyperParams.from_dict(d)
+
+
+def compute_z_sdxl_text_encoders(
+    components: SDXLComponents,
+    requests: Sequence[Dict],
+    hparams: EMCIDXLHyperParams,
+    latents_mean: np.ndarray,
+    latents_logvar: np.ndarray,
+    rng: Optional[jax.Array] = None,
+    height: int = 1024,
+    width: int = 1024,
+    verbose: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Joint two-delta Stage-1 for a concept block.
+
+    Returns (zs_1 (C, T, H1), zs_2 (C, T, H2)).
+    """
+    hp = hparams
+    tok = components.tokenizer
+    text1, p1 = components.text_encoder, components.text_params
+    text2, p2 = components.text_encoder_2, components.text_params_2
+    unet, pu = components.unet, components.unet_params
+    schedule = components.schedule
+    z1_layer = hp.layers[-1]
+    z2_layer = hp.layers_2[-1]
+    n1 = text1.config.num_hidden_layers
+    n2 = text2.config.num_hidden_layers
+    H1, H2 = text1.config.hidden_size, text2.config.hidden_size
+
+    hp1_view = encoder_hparams_view(hp, 1)
+    arrays, _, _ = prepare_concept_batch(tok, requests, hp1_view)
+    C, P, S = arrays["source_ids"].shape
+    T = arrays["inject_mask"].shape[1]
+    src_ids = jnp.asarray(arrays["source_ids"])
+    dest_ids = jnp.asarray(arrays["dest_ids"])
+    inj_mask = jnp.asarray(arrays["inject_mask"])  # same token mask, both encoders
+    lat_mean = jnp.asarray(latents_mean)
+    lat_logvar = jnp.asarray(latents_logvar)
+    tids = sdxl_time_ids(P, height, width)
+
+    def encode(params1, params2, ids2d, delta1=None, delta2=None,
+               mask2d=None):
+        kw1, kw2 = {}, {}
+        if delta1 is not None:
+            kw1 = dict(inject_layer=z1_layer,
+                       inject_delta=jnp.einsum("tns,th->nsh", mask2d, delta1))
+        if delta2 is not None:
+            kw2 = dict(inject_layer=z2_layer,
+                       inject_delta=jnp.einsum("tns,th->nsh", mask2d, delta2))
+        o1 = text1.apply({"params": params1}, ids2d,
+                         capture=("layer_out",), **kw1)
+        o2 = text2.apply({"params": params2}, ids2d,
+                         capture=("layer_out",), **kw2)
+        ctx = jnp.concatenate(
+            [o1.taps["layer_out"][n1 - 2], o2.taps["layer_out"][n2 - 2]],
+            axis=-1,
+        )
+        return ctx, o2.pooled_output
+
+    @jax.jit
+    def run(p1, p2, pu, rng):
+        flat = lambda x: x.reshape((C * P,) + x.shape[2:])
+        dest_ctx, dest_pool = encode(p1, p2, flat(dest_ids))
+        dest_ctx = dest_ctx.reshape(C, P, S, -1)
+        dest_pool = dest_pool.reshape(C, P, -1)
+
+        # z0 per encoder at the edit layers, first prompt
+        def z0_for(text, params, z_layer):
+            out = text.apply({"params": params}, src_ids[:, 0],
+                             capture=("layer_out",), stop_at_layer=z_layer)
+            lo = out.taps["layer_out"][z_layer]
+            return jnp.einsum("cts,csh->cth", inj_mask[:, :, 0, :], lo)
+
+        z0_1 = z0_for(text1, p1, z1_layer)
+        z0_2 = z0_for(text2, p2, z2_layer)
+        z0n_1 = jnp.linalg.norm(z0_1.reshape(C, -1), axis=-1)
+        z0n_2 = jnp.linalg.norm(z0_2.reshape(C, -1), axis=-1)
+
+        opt = optax.adam(hp.v_lr)
+
+        def concept_loss(deltas, data, key):
+            d1, d2 = deltas
+            (ids, m, d_ctx, d_pool, lm, lv, z1n, z2n) = data
+            k_post, k_noise, k_t = jax.random.split(key, 3)
+            mean = lm[0]
+            latents = mean + jnp.exp(0.5 * lv[0]) * jax.random.normal(
+                k_post, mean.shape, mean.dtype)
+            noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+            timesteps = jax.random.randint(
+                k_t, (P,), 0, schedule.num_train_timesteps)
+            noisy = add_noise(schedule, latents, noise, timesteps)
+            ctx, pool = encode(p1, p2, ids, d1, d2, m)
+            added_e = {"text_embeds": pool, "time_ids": tids}
+            added_d = {"text_embeds": d_pool, "time_ids": tids}
+
+            @jax.checkpoint
+            def unet_fwd(ctx, added):
+                return unet.apply({"params": pu}, noisy, timesteps, ctx,
+                                  added).sample
+
+            eps_e = unet_fwd(ctx, added_e)
+            eps_d = jax.lax.stop_gradient(unet_fwd(d_ctx, added_d))
+            mse = jnp.mean((eps_e - eps_d) ** 2)
+            reg = hp.v_weight_decay * (
+                jnp.sqrt(jnp.sum(d1**2) + 1e-12) / z1n**2
+                + jnp.sqrt(jnp.sum(d2**2) + 1e-12) / z2n**2
+            )
+            loss = mse + reg
+            if hp.cal_text_repr_loss:
+                loss = loss + hp.text_repr_loss_scale_factor * jnp.mean(
+                    (pool - d_pool) ** 2)
+            return loss
+
+        per_concept = jax.vmap(jax.value_and_grad(concept_loss), (0, 0, 0))
+
+        def step(carry, _):
+            (d1, d2), opt_state, key = carry
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, C)
+            data = (src_ids, inj_mask, dest_ctx, dest_pool, lat_mean,
+                    lat_logvar, z0n_1, z0n_2)
+            loss, grads = per_concept((d1, d2), data, keys)
+            updates, opt_state = opt.update(grads, opt_state, (d1, d2))
+            d1, d2 = optax.apply_updates((d1, d2), updates)
+
+            def clamp(d, z0n):
+                mx = hp.clamp_norm_factor * z0n
+                n = jnp.linalg.norm(d.reshape(C, -1), axis=-1)
+                return d * jnp.minimum(1.0, mx / jnp.maximum(n, 1e-12))[:, None, None]
+
+            return ((clamp(d1, z0n_1), clamp(d2, z0n_2)), opt_state, key), loss.mean()
+
+        d1 = jnp.zeros((C, T, H1), jnp.float32)
+        d2 = jnp.zeros((C, T, H2), jnp.float32)
+        opt_state = opt.init((d1, d2))
+        ((d1, d2), _, _), losses = jax.lax.scan(
+            step, ((d1, d2), opt_state, rng),
+            jnp.arange(hp.v_num_grad_steps))
+        return z0_1 + d1, z0_2 + d2, losses
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    zs1, zs2, losses = run(p1, p2, pu, rng)
+    if verbose:
+        print(f"SDXL stage1: final loss {float(losses[-1]):.6f}")
+    return np.asarray(zs1), np.asarray(zs2)
+
+
+def execute_emcid_sd_xl_text_encoders(
+    components: SDXLComponents,
+    requests: Sequence[Dict],
+    hparams: EMCIDXLHyperParams,
+    zs_1,
+    zs_2,
+    covs_1,
+    covs_2,
+    mom2_weight=None,
+    mom2_weight_2=None,
+    edit_weight=None,
+    verbose: bool = True,
+) -> Tuple[Dict, Dict, SDXLComponents]:
+    """Two independent inserts (reference emcid_main.py:1085-1425).
+
+    Returns (deltas_1, deltas_2, edited components).
+    """
+    hp1 = encoder_hparams_view(hparams, 1)
+    hp2 = encoder_hparams_view(hparams, 2)
+    deltas_1, new_p1 = execute_emcid_text_encoder(
+        components.text_encoder, components.text_params,
+        components.tokenizer, requests, hp1,
+        zs=zs_1, covs=covs_1, mom2_weight=mom2_weight,
+        edit_weight=edit_weight, verbose=verbose,
+    )
+    deltas_2, new_p2 = execute_emcid_text_encoder(
+        components.text_encoder_2, components.text_params_2,
+        components.tokenizer, requests, hp2,
+        zs=zs_2, covs=covs_2, mom2_weight=mom2_weight_2,
+        edit_weight=edit_weight, verbose=verbose,
+    )
+    return deltas_1, deltas_2, components.replace_text_params(new_p1, new_p2)
+
+
+def apply_emcid_to_sdxl_text_encoders(
+    components: SDXLComponents,
+    requests: Sequence[Dict],
+    hparams: EMCIDXLHyperParams,
+    latents_mean,
+    latents_logvar,
+    covs_1,
+    covs_2,
+    mom2_weight=None,
+    mom2_weight_2=None,
+    edit_weight=None,
+    cache_name: Optional[str] = None,
+    height: int = 1024,
+    width: int = 1024,
+    verbose: bool = True,
+):
+    """Stage-1 (with v_star_1/v_star_2 npz caching) + Stage-2 glue
+    (reference apply_emcid_to_sd_xl_text_encoders, emcid_main.py:38-106)."""
+    from emcid_tpu.engine.emcid import z_cache_path
+
+    zs_1: List[Optional[np.ndarray]] = [None] * len(requests)
+    zs_2: List[Optional[np.ndarray]] = [None] * len(requests)
+    missing = []
+    for i, request in enumerate(requests):
+        if cache_name is not None:
+            p = z_cache_path(cache_name, request, hparams)
+            if p.exists():
+                try:
+                    data = np.load(p)
+                    zs_1[i] = data["v_star_1"]
+                    zs_2[i] = data["v_star_2"]
+                    continue
+                except Exception as e:
+                    print(f"Error reading cache file due to {e}. Recomputing...")
+        missing.append(i)
+    if missing:
+        block = [requests[i] for i in missing]
+        lm = np.asarray(latents_mean)[missing]
+        lv = np.asarray(latents_logvar)[missing]
+        z1, z2 = compute_z_sdxl_text_encoders(
+            components, block, hparams, lm, lv, height=height, width=width,
+            verbose=verbose,
+        )
+        for k, i in enumerate(missing):
+            zs_1[i], zs_2[i] = z1[k], z2[k]
+            if cache_name is not None:
+                p = z_cache_path(cache_name, requests[i], hparams)
+                p.parent.mkdir(exist_ok=True, parents=True)
+                np.savez(p, v_star_1=z1[k], v_star_2=z2[k])
+    return execute_emcid_sd_xl_text_encoders(
+        components, requests, hparams,
+        np.stack(zs_1), np.stack(zs_2), covs_1, covs_2,
+        mom2_weight=mom2_weight, mom2_weight_2=mom2_weight_2,
+        edit_weight=edit_weight, verbose=verbose,
+    )

@@ -1,0 +1,273 @@
+"""SDXL pipeline components: dual text encoders + conditioned UNet.
+
+SDXL conditioning (reference pipelines via diffusers; SURVEY.md §1 models):
+* context = concat(penultimate hidden of CLIP-L, penultimate hidden of
+  OpenCLIP-bigG) → (B, 77, 2048);
+* added conds: ``text_embeds`` = bigG pooled+projected (B, 1280),
+  ``time_ids`` = (orig_size, crop, target_size) sextuple.
+
+The editing engine treats each encoder independently (hparams ``layers`` /
+``layers_2``, separate stats dirs XL_STATS_DIR1/2 — reference
+emcid_main.py:1085-1425).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emcid_tpu.models.clip_text import CLIPTextEncoder
+from emcid_tpu.models.configs import (
+    SDXL_TEXT_1,
+    SDXL_TEXT_2,
+    sdxl_unet,
+    sdxl_vae,
+)
+from emcid_tpu.models.scheduler import (
+    Schedule,
+    ddim_step,
+    ddim_timesteps,
+    sd_schedule,
+)
+from emcid_tpu.models.unet import UNet2DCondition
+from emcid_tpu.models.vae import AutoencoderKL
+
+
+@dataclass
+class SDXLComponents:
+    tokenizer: Any  # shared CLIP BPE (tokenizer_2 differs only in pad token)
+    text_encoder: Any
+    text_params: Any
+    text_encoder_2: Any
+    text_params_2: Any
+    unet: Any
+    unet_params: Any
+    vae: Any
+    vae_params: Any
+    schedule: Schedule = field(default_factory=sd_schedule)
+    scaling_factor: float = 0.13025
+    latent_channels: int = 4
+    vae_scale: int = 8
+
+    def replace_text_params(self, p1=None, p2=None) -> "SDXLComponents":
+        import dataclasses
+
+        kw = {}
+        if p1 is not None:
+            kw["text_params"] = p1
+        if p2 is not None:
+            kw["text_params_2"] = p2
+        return dataclasses.replace(self, **kw)
+
+    def encoder(self, which: int) -> Tuple[Any, Any]:
+        if which == 1:
+            return self.text_encoder, self.text_params
+        return self.text_encoder_2, self.text_params_2
+
+
+def encode_prompts_sdxl(
+    components: SDXLComponents,
+    prompts: Sequence[str],
+    params_1=None,
+    params_2=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Prompts → (context (B, S, 2048), pooled (B, 1280)).
+
+    Penultimate hidden states: layer_out of the second-to-last encoder layer
+    (clip-skip convention), no final LN.
+    """
+    tok = components.tokenizer
+    enc = tok(list(prompts), padding="max_length", truncation=True,
+              max_length=tok.model_max_length)
+    ids = jnp.asarray(enc["input_ids"])
+    p1 = params_1 if params_1 is not None else components.text_params
+    p2 = params_2 if params_2 is not None else components.text_params_2
+    n1 = components.text_encoder.config.num_hidden_layers
+    n2 = components.text_encoder_2.config.num_hidden_layers
+    out1 = components.text_encoder.apply(
+        {"params": p1}, ids, capture=("layer_out",), stop_at_layer=n1 - 2,
+    )
+    h1 = out1.taps["layer_out"][n1 - 2]
+    out2_full = components.text_encoder_2.apply({"params": p2}, ids)
+    out2 = components.text_encoder_2.apply(
+        {"params": p2}, ids, capture=("layer_out",), stop_at_layer=n2 - 2,
+    )
+    h2 = out2.taps["layer_out"][n2 - 2]
+    context = jnp.concatenate([h1, h2], axis=-1)
+    return context, out2_full.pooled_output
+
+
+def sdxl_time_ids(batch: int, height: int, width: int,
+                  crop: Tuple[int, int] = (0, 0)) -> jnp.ndarray:
+    ids = jnp.asarray(
+        [height, width, crop[0], crop[1], height, width], dtype=jnp.float32
+    )
+    return jnp.broadcast_to(ids, (batch, 6))
+
+
+_SDXL_SAMPLER_CACHE: Dict[Any, Any] = {}
+
+
+def sample_latents_sdxl(
+    components: SDXLComponents,
+    prompts: Sequence[str],
+    seeds: Sequence[int],
+    *,
+    negative_prompts: Optional[Sequence[str]] = None,
+    num_inference_steps: int = 50,
+    guidance_scale: float = 5.0,
+    height: int = 1024,
+    width: int = 1024,
+) -> jnp.ndarray:
+    """CFG DDIM sampling with SDXL added conditions, one scanned program."""
+    from emcid_tpu.models.pipeline import initial_latents
+
+    ctx_c, pool_c = encode_prompts_sdxl(components, prompts)
+    neg = negative_prompts if negative_prompts is not None else [""] * len(prompts)
+    ctx_u, pool_u = encode_prompts_sdxl(components, neg)
+    latents = initial_latents(seeds, height, width,
+                              components.latent_channels,
+                              components.vae_scale)
+    B = latents.shape[0]
+    tids = sdxl_time_ids(B, height, width)
+
+    key = (components.unet.config, num_inference_steps,
+           components.schedule.num_train_timesteps)
+    if key not in _SDXL_SAMPLER_CACHE:
+        ts = ddim_timesteps(components.schedule, num_inference_steps)
+        ts_prev = np.concatenate([ts[1:], [-1]]).astype(np.int32)
+        unet = components.unet
+        schedule = components.schedule
+
+        @jax.jit
+        def run(unet_params, latents, ctx_c, ctx_u, pool_c, pool_u, tids, g):
+            B = latents.shape[0]
+            ctx2 = jnp.concatenate([ctx_u, ctx_c], axis=0)
+            added = {
+                "text_embeds": jnp.concatenate([pool_u, pool_c], axis=0),
+                "time_ids": jnp.concatenate([tids, tids], axis=0),
+            }
+
+            def body(lat, t_pair):
+                t, t_prev = t_pair
+                lat2 = jnp.concatenate([lat, lat], axis=0)
+                eps2 = unet.apply(
+                    {"params": unet_params}, lat2,
+                    jnp.broadcast_to(t, (2 * B,)), ctx2, added,
+                ).sample
+                eps_u, eps_c = jnp.split(eps2, 2, axis=0)
+                eps = eps_u + g * (eps_c - eps_u)
+                return ddim_step(schedule, lat, eps, t, t_prev), None
+
+            lat, _ = jax.lax.scan(
+                body, latents, (jnp.asarray(ts), jnp.asarray(ts_prev))
+            )
+            return lat
+
+        _SDXL_SAMPLER_CACHE[key] = run
+    return _SDXL_SAMPLER_CACHE[key](
+        components.unet_params, latents, ctx_c, ctx_u, pool_c, pool_u, tids,
+        jnp.float32(guidance_scale),
+    )
+
+
+def generate_sdxl(components: SDXLComponents, prompts, seeds,
+                  **kwargs) -> np.ndarray:
+    from emcid_tpu.models.pipeline import decode_latents
+
+    lat = sample_latents_sdxl(components, list(prompts), list(seeds), **kwargs)
+    # reuse the SD decode path (same VAE interface, different scaling factor)
+    from emcid_tpu.models.pipeline import SDComponents
+
+    fake = SDComponents(
+        tokenizer=components.tokenizer,
+        text_encoder=components.text_encoder,
+        text_params=components.text_params,
+        unet=components.unet, unet_params=components.unet_params,
+        vae=components.vae, vae_params=components.vae_params,
+        scaling_factor=components.scaling_factor,
+        vae_scale=components.vae_scale,
+    )
+    return decode_latents(fake, lat)
+
+
+def build_tiny_sdxl_pipeline(seed: int = 0, words=None) -> SDXLComponents:
+    """Tiny random SDXL-style pipeline: two small encoders (16+16 → 32
+    context), text_time UNet, vae_scale 2."""
+    import dataclasses
+
+    from emcid_tpu.models.configs import CLIPTextConfig, UNetConfig, tiny_vae
+    from emcid_tpu.text.tokenizer import make_tiny_tokenizer
+
+    tokenizer = make_tiny_tokenizer(
+        list(words or []) + [f"w{i}" for i in range(16)]
+        + ["photo", "of", "a", "an", "image", "cat", "dog"],
+        model_max_length=16,
+    )
+    cfg1 = CLIPTextConfig(
+        vocab_size=tokenizer.vocab_size, hidden_size=16,
+        intermediate_size=32, num_hidden_layers=3, num_attention_heads=2,
+        max_position_embeddings=16, eos_token_id=tokenizer.eos_token_id,
+    )
+    cfg2 = CLIPTextConfig(
+        vocab_size=tokenizer.vocab_size, hidden_size=16,
+        intermediate_size=32, num_hidden_layers=4, num_attention_heads=2,
+        max_position_embeddings=16, hidden_act="gelu",
+        projection_dim=16, eos_token_id=tokenizer.eos_token_id,
+    )
+    unet_cfg = UNetConfig(
+        sample_size=8, block_out_channels=(32, 64), layers_per_block=1,
+        down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+        up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+        attention_head_dim=(4, 4), transformer_layers_per_block=(1, 1),
+        cross_attention_dim=32, norm_num_groups=8,
+        addition_embed_type="text_time", addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=16 + 6 * 8,
+    )
+    text1 = CLIPTextEncoder(cfg1)
+    text2 = CLIPTextEncoder(cfg2)
+    unet = UNet2DCondition(unet_cfg)
+    vae = AutoencoderKL(tiny_vae())
+    k = jax.random.PRNGKey(seed)
+    return SDXLComponents(
+        tokenizer=tokenizer,
+        text_encoder=text1,
+        text_params=text1.init_params(k, seq_len=16),
+        text_encoder_2=text2,
+        text_params_2=text2.init_params(jax.random.fold_in(k, 1), seq_len=16),
+        unet=unet,
+        unet_params=unet.init_params(jax.random.fold_in(k, 2), context_len=16),
+        vae=vae,
+        vae_params=vae.init_params(jax.random.fold_in(k, 3), image_size=16),
+        vae_scale=2,
+    )
+
+
+def build_random_sdxl_pipeline(dtype=jnp.bfloat16, tokenizer=None,
+                               seed: int = 0) -> SDXLComponents:
+    """Full-architecture SDXL random init (CLIP-L + bigG + 2.6B UNet)."""
+    from emcid_tpu.text.tokenizer import make_tiny_tokenizer
+
+    if tokenizer is None:
+        tokenizer = make_tiny_tokenizer(
+            [f"w{i}" for i in range(64)] + ["photo", "of", "a"],
+            model_max_length=77,
+        )
+    text1 = CLIPTextEncoder(SDXL_TEXT_1, dtype=dtype)
+    text2 = CLIPTextEncoder(SDXL_TEXT_2, dtype=dtype)
+    unet = UNet2DCondition(sdxl_unet(), dtype=dtype)
+    vae = AutoencoderKL(sdxl_vae(), dtype=dtype)
+    k = jax.random.PRNGKey(seed)
+    return SDXLComponents(
+        tokenizer=tokenizer,
+        text_encoder=text1, text_params=text1.init_params(k),
+        text_encoder_2=text2,
+        text_params_2=text2.init_params(jax.random.fold_in(k, 1)),
+        unet=unet, unet_params=unet.init_params(jax.random.fold_in(k, 2)),
+        vae=vae,
+        vae_params=vae.init_params(jax.random.fold_in(k, 3), image_size=128),
+    )

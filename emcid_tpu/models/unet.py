@@ -113,9 +113,12 @@ class CrossAttention(nn.Module):
         q = q.reshape(B, N, self.num_heads, head_dim)
         k = k.reshape(B, M, self.num_heads, head_dim)
         v = v.reshape(B, M, self.num_heads, head_dim)
-        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (head_dim**-0.5)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", probs, v).reshape(B, N, inner)
+        # memory-bounded dispatch: pallas flash kernel on TPU for the long
+        # spatial self-attention (N up to 4096), fused einsum for 77-token
+        # cross-attention (see ops/attention.py)
+        from emcid_tpu.ops.attention import attention as _attention
+
+        out = _attention(q, k, v, scale=head_dim**-0.5).reshape(B, N, inner)
         # to_out.0 in HF (Dropout is to_out.1 — identity at inference)
         out = nn.Dense(inner, dtype=self.dtype, name="to_out_0")(out)
         out = _inject_out(inject, path, out)

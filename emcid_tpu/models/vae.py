@@ -55,9 +55,12 @@ class VaeAttention(nn.Module):
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
-        scores = jnp.einsum("bnc,bmc->bnm", q, k) * (C**-0.5)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bnm,bmc->bnc", probs, v)
+        from emcid_tpu.ops.attention import attention as _attention
+
+        out = _attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :],
+            scale=C**-0.5,
+        )[:, :, 0, :]
         out = nn.Dense(C, dtype=self.dtype, name="to_out_0")(out)
         return x + out.reshape(B, H, W, C)
 

@@ -16,12 +16,18 @@ def setup_compilation_cache() -> None:
     try:
         import jax
 
-        cache_dir = os.environ.get(
-            "EMCID_TPU_CACHE", os.path.expanduser("~/.cache/emcid_tpu_xla")
+        # per-platform subdir: CPU and TPU executables must not share a
+        # cache (cross-machine CPU AOT entries trip feature-mismatch loads)
+        platform = os.environ.get("JAX_PLATFORMS", "default").split(",")[0]
+        cache_dir = os.path.join(
+            os.environ.get("EMCID_TPU_CACHE",
+                           os.path.expanduser("~/.cache/emcid_tpu_xla")),
+            platform or "default",
         )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # long-compile programs only: keeps throwaway CPU builds out
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:  # pragma: no cover — cache is best-effort
         pass

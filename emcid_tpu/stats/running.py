@@ -63,6 +63,18 @@ def _restore_result_shape(data_shape, a):
     return a.reshape(a.shape[:-1] + tuple(data_shape))
 
 
+
+def _load_data_shape(ds):
+    """None / NaN-boxed-null / array → tuple or None (robust to raw npz
+    loads that skipped unbox_numpy_null)."""
+    if ds is None:
+        return None
+    arr = np.atleast_1d(np.asarray(ds))
+    if arr.dtype.kind == "f" and np.isnan(arr).any():
+        return None
+    return tuple(int(d) for d in arr)
+
+
 class Stat:
     """Abstract streaming statistic (reference runningstats.py:144-231)."""
 
@@ -144,8 +156,7 @@ class Mean(Stat):
         self.count = int(state["count"])
         self.batchcount = int(state["batchcount"])
         self._mean = np.asarray(state["mean"])
-        ds = state.get("data_shape")
-        self.data_shape = None if ds is None else tuple(int(d) for d in np.atleast_1d(ds))
+        self.data_shape = _load_data_shape(state.get("data_shape"))
 
 
 class NormMean(Mean):
@@ -229,8 +240,7 @@ class Variance(Stat):
         self.batchcount = int(state["batchcount"])
         self._mean = np.asarray(state["mean"])
         self.v_cmom2 = np.asarray(state["cmom2"])
-        ds = state.get("data_shape")
-        self.data_shape = None if ds is None else tuple(int(d) for d in np.atleast_1d(ds))
+        self.data_shape = _load_data_shape(state.get("data_shape"))
 
 
 class Covariance(Stat):
@@ -301,8 +311,7 @@ class Covariance(Stat):
         self.count = int(state["count"])
         self._mean = np.asarray(state["mean"])
         self.cmom2 = np.asarray(state["cmom2"])
-        ds = state.get("data_shape")
-        self.data_shape = None if ds is None else tuple(int(d) for d in np.atleast_1d(ds))
+        self.data_shape = _load_data_shape(state.get("data_shape"))
 
 
 if _HAVE_JAX:
