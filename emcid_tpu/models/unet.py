@@ -106,6 +106,10 @@ class CrossAttention(nn.Module):
         self.sow("intermediates", "kv_in", ctx)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        # K/V-projection edit seams (cross-attn EMCID mode,
+        # reference compute_z_unet_x_kv, compute_z.py:2407-2643)
+        k = _inject_out(inject, f"{path}.to_k", k)
+        v = _inject_out(inject, f"{path}.to_v", v)
         self.sow("intermediates", "k_out", k)
         self.sow("intermediates", "v_out", v)
         B, N, _ = x.shape
