@@ -37,6 +37,8 @@ deterministic and comparable against any other implementation.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
@@ -148,9 +150,14 @@ class ZOptimizer:
     fim: Optional[np.ndarray] = None  # EWC Fisher diag (hidden,)
     compute_dtype: Any = jnp.float32
 
+    # device programs are capped at this many optimization steps: one long
+    # scan (~100 steps ≈ minutes of device time) trips the runtime watchdog
+    # on the tunneled TPU, so the step loop is chunked at the host with the
+    # (delta, opt_state, rng) carry threaded between executions
+    chunk_steps: int = int(os.environ.get("EMCID_TPU_Z_CHUNK", 20))
+
     def __post_init__(self):
-        hp = self.hparams
-        self._run = jax.jit(partial(self._run_impl))
+        self._run = jax.jit(self._run_impl, static_argnames=("steps",))
 
     # -- pieces ------------------------------------------------------------
     def _text_fwd(self, params, ids2d):
@@ -176,12 +183,14 @@ class ZOptimizer:
     # -- main --------------------------------------------------------------
     def _run_impl(self, text_params, unet_params, batch: ConceptBatch,
                   rng: jnp.ndarray,
+                  steps: int,
+                  step_offset: jnp.ndarray,
+                  carry_in=None,
                   noise_override: Optional[jnp.ndarray] = None,
                   ts_override: Optional[jnp.ndarray] = None):
         hp = self.hparams
         C, P, S = batch.source_ids.shape
         T = batch.inject_mask.shape[1]
-        steps = hp.v_num_grad_steps
         H = self.text_model.config.hidden_size
         lat_shape = batch.latents_mean.shape[3:]
         n_train_ts = self.schedule.num_train_timesteps
@@ -326,22 +335,52 @@ class ZOptimizer:
             return (delta, opt_state, key), loss.mean()
 
         flatbatch_src = batch.source_ids
-        delta0 = jnp.zeros((C, T, H), dtype=jnp.float32)
-        opt_state = opt.init(delta0)
-        (delta, _, _), losses = jax.lax.scan(
-            step, (delta0, opt_state, rng), jnp.arange(steps)
+        if carry_in is None:
+            delta0 = jnp.zeros((C, T, H), dtype=jnp.float32)
+            carry = (delta0, opt.init(delta0), rng)
+        else:
+            delta0, opt_state0 = carry_in
+            carry = (delta0, opt_state0, rng)
+        (delta, opt_state, _), losses = jax.lax.scan(
+            step, carry, step_offset + jnp.arange(steps)
         )
         zs = z0 + delta
-        return zs, delta, z0, losses
+        return zs, delta, z0, losses, opt_state
 
     def run(self, text_params, unet_params, batch: ConceptBatch,
             rng: Optional[jax.Array] = None,
             noise_override=None, ts_override=None):
-        """Optimize a concept block → (zs (C,T,H), delta, z0, loss curve)."""
+        """Optimize a concept block → (zs (C,T,H), delta, z0, loss curve).
+
+        Host-chunked: the device executes at most ``chunk_steps`` steps per
+        program (watchdog-safe); the (delta, opt_state) carry and a freshly
+        split rng thread across chunks, so the trajectory is identical to a
+        single fused scan."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        return self._run(text_params, unet_params, batch, rng,
-                         noise_override, ts_override)
+        total = self.hparams.v_num_grad_steps
+        chunk = max(1, min(self.chunk_steps, total)) if total else 1
+        carry = None
+        losses_all = []
+        done = 0
+        zs = delta = z0 = None
+        while done < total or (total == 0 and zs is None):
+            n = min(chunk, total - done) if total else 0
+            rng, sub = jax.random.split(rng)
+            zs, delta, z0, losses, opt_state = self._run(
+                text_params, unet_params, batch, sub,
+                steps=n, step_offset=jnp.asarray(done),
+                carry_in=carry,
+                noise_override=noise_override, ts_override=ts_override,
+            )
+            losses_all.append(losses)
+            carry = (delta, opt_state)
+            done += n
+            if total == 0:
+                break
+        losses = (jnp.concatenate(losses_all) if losses_all
+                  else jnp.zeros((0,)))
+        return zs, delta, z0, losses
 
 
 def compute_z_text_encoder_batch(

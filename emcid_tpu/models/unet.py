@@ -123,8 +123,11 @@ class CrossAttention(nn.Module):
         from emcid_tpu.ops.attention import attention as _attention
 
         out = _attention(q, k, v, scale=head_dim**-0.5).reshape(B, N, inner)
-        # to_out.0 in HF (Dropout is to_out.1 — identity at inference)
+        # to_out.0 in HF (Dropout is to_out.1 — identity at inference);
+        # its input is an editable key source (UNET_EDIT_TEMPLATES attn-out)
+        self.sow("intermediates", "attn_out_in", out)
         out = nn.Dense(inner, dtype=self.dtype, name="to_out_0")(out)
+        self.sow("intermediates", "attn_out_out", out)
         out = _inject_out(inject, path, out)
         return out
 
