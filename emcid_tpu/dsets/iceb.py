@@ -274,6 +274,23 @@ def compose_alias_test_requests(
     return new_requests
 
 
+def requests_to_csv(requests: Sequence[Dict], out_file) -> None:
+    """Persist requests as CSV with repr-encoded list columns (the
+    arbitrary/rectification split files, reference iceb_dataset.py:398-424)."""
+    fields = ["source", "dest", "prompts", "seed_train", "seeds",
+              "source id", "dest id"]
+    Path(out_file).parent.mkdir(parents=True, exist_ok=True)
+    with open(out_file, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields, extrasaction="ignore")
+        w.writeheader()
+        for r in requests:
+            row = {k: r.get(k) for k in fields}
+            for k in ("prompts", "seeds"):
+                if isinstance(row.get(k), list):
+                    row[k] = repr([str(x) for x in row[k]])
+            w.writerow(row)
+
+
 def requests_from_csv(path) -> List[Dict]:
     """Load requests persisted as CSV (the arbitrary/rectification split
     files, e.g. ``rectification_train.csv``: list-typed columns are

@@ -173,6 +173,66 @@ def trace_important_states(
     return heat
 
 
+def save_trace_images(
+    components: SDComponents,
+    prompt: str,
+    subject: str,
+    noise_scale: float,
+    out_dir,
+    class_name: str,
+    idx: int,
+    layers: Optional[Sequence[int]] = None,
+    tokens: Optional[Sequence[int]] = None,
+    window: int = 1,
+    kind: str = "x",
+    seed: int = 0,
+    gen_kwargs: Optional[dict] = None,
+):
+    """Generate and save traced images under the ImageItem filename codec
+    (evals/folder_sweep.py; reference causal_trace.py:264-332) for offline
+    scoring: ``{class}_{idx}_{kind}_clean.png`` / ``..._corrupt.png`` /
+    ``..._l{L}_restore_{token}.png`` / ``..._s{S}_w{W}_restore_{token}.png``.
+    """
+    from pathlib import Path
+
+    from PIL import Image
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    base = trace_with_patch_text_encoder(
+        components, prompt, subject, [], noise_scale, seed,
+        gen_kwargs=gen_kwargs,
+    )
+    Image.fromarray(base[0]).save(out_dir / f"{class_name}_{idx}_{kind}_clean.png")
+    Image.fromarray(base[1]).save(out_dir / f"{class_name}_{idx}_{kind}_corrupt.png")
+
+    tok = components.tokenizer
+    enc = tok([prompt])
+    ids = enc["input_ids"][0][: int(np.asarray(enc["attention_mask"][0]).sum())]
+    tok_strs = [tok.decode([int(i)]) or f"t{p}" for p, i in enumerate(ids)]
+    n_layers = components.text_encoder.config.num_hidden_layers
+    layers = list(layers if layers is not None else range(n_layers))
+    tokens = list(tokens if tokens is not None else range(len(ids)))
+    for t in tokens:
+        for l in layers:
+            patch = [
+                (lw, t) for lw in range(max(0, l - window // 2),
+                                        min(n_layers, l - window // 2 + window))
+            ]
+            imgs = trace_with_patch_text_encoder(
+                components, prompt, subject, patch, noise_scale, seed,
+                gen_kwargs=gen_kwargs,
+            )
+            token_label = tok_strs[t].replace(" ", "") or f"t{t}"
+            if window == 1:
+                name = f"{class_name}_{idx}_{kind}_l{l}_restore_{token_label}.png"
+            else:
+                name = (f"{class_name}_{idx}_{kind}_s{patch[0][0]}_w{window}"
+                        f"_restore_{token_label}.png")
+            Image.fromarray(imgs[1]).save(out_dir / name)
+    return out_dir
+
+
 def calculate_hidden_flow_text_encoder(
     components: SDComponents,
     prompt: str,
