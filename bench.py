@@ -106,14 +106,15 @@ def main():
     # warm-up/compile (persistent-cached across runs)
     warm_hp_steps = hp.v_num_grad_steps
     zs, delta, z0, losses = optz.run(tp, up, batch, jax.random.PRNGKey(0))
-    zs.block_until_ready()
+    zs = np.asarray(zs)
     _ = execute_emcid_text_encoder(
         text, tp, tok, requests, hp, zs=zs, covs=covs, verbose=False)
 
-    # timed run
+    # timed run (host materialization — block_until_ready does not reliably
+    # synchronize on the tunneled TPU backend)
     t0 = time.time()
     zs, delta, z0, losses = optz.run(tp, up, batch, jax.random.PRNGKey(1))
-    zs.block_until_ready()
+    zs = np.asarray(zs)
     t_stage1 = time.time() - t0
     t0 = time.time()
     deltas, new_params = execute_emcid_text_encoder(
