@@ -28,6 +28,83 @@ def save_images(images: np.ndarray, out_dir: Path, names):
         Image.fromarray(img).save(out_dir / name)
 
 
+def _main_sdxl(args, instruction, hparams, requests, mom2_weight,
+               edit_weight, val_prompts, out_dir, sample_num):
+    """SDXL leg of the CLI (instruction model_ckpt='sdxl-1.0' with
+    mom2_weight_2, reference run_emcid.py SDXL branch)."""
+    import dataclasses
+
+    from emcid_tpu.engine.sdxl import (
+        apply_emcid_to_sdxl_text_encoders,
+        resolve_covariances_sdxl,
+        sdxl_training_latents,
+    )
+    from emcid_tpu.models.sdxl import (
+        build_random_sdxl_pipeline,
+        build_tiny_sdxl_pipeline,
+        generate_sdxl,
+    )
+
+    mom2_weight_2 = instruction.get("mom2_weight_2")
+    if args.tiny:
+        words = []
+        for r in requests:
+            words += r["source"].lower().split() + r["dest"].lower().split()
+        comps = build_tiny_sdxl_pipeline(seed=args.seed, words=words)
+        res = comps.unet.config.sample_size * comps.vae_scale
+        steps = min(args.steps, 4)
+        n1 = comps.text_encoder.config.num_hidden_layers
+        n2 = comps.text_encoder_2.config.num_hidden_layers
+        if max(hparams.layers) >= n1 - 1 or max(hparams.layers_2) >= n2 - 1:
+            hparams = dataclasses.replace(
+                hparams,
+                layers=list(range(max(0, n1 - 3), n1 - 1)),
+                layers_2=list(range(max(0, n2 - 3), n2 - 1)),
+                v_num_grad_steps=min(hparams.v_num_grad_steps, 4),
+            )
+            print(f"[tiny] remapped layers to {hparams.layers}/{hparams.layers_2}")
+    elif getattr(args, "random_init", False):
+        comps = build_random_sdxl_pipeline(seed=args.seed)
+        res = 1024
+        steps = args.steps
+    else:
+        raise SystemExit(
+            "SDXL checkpoint loading: pass --random-init or --tiny "
+            "(HF-format SDXL dir conversion lands with the bigG converter)"
+        )
+
+    gen_kwargs = dict(num_inference_steps=steps, height=res, width=res)
+    names, prompts, seeds = [], [], []
+    for i, vp in enumerate(val_prompts):
+        for s in range(sample_num):
+            prompts.append(vp)
+            seeds.append(args.seed + s)
+            names.append(f"prompt{i}_seed{args.seed + s}.png")
+    if prompts:
+        print(f"pre-edit generation: {len(prompts)} images")
+        save_images(generate_sdxl(comps, prompts, seeds, **gen_kwargs),
+                    out_dir / "pre_edit", names)
+
+    covs_1, covs_2 = resolve_covariances_sdxl(
+        comps, hparams, stats_dir_1=args.stats_dir, stats_dir_2=args.stats_dir)
+    mean, logvar = sdxl_training_latents(
+        comps, requests, hparams, height=res, width=res,
+        num_inference_steps=steps, verbose=True)
+    cache_name = (f"{args.cache_dir}/{instruction['hparams']}/"
+                  if args.cache_dir else None)
+    d1, d2, edited = apply_emcid_to_sdxl_text_encoders(
+        comps, requests, hparams, mean, logvar, covs_1, covs_2,
+        mom2_weight=mom2_weight, mom2_weight_2=mom2_weight_2,
+        edit_weight=edit_weight, cache_name=cache_name,
+        height=res, width=res)
+    if prompts:
+        print(f"post-edit generation: {len(prompts)} images")
+        save_images(generate_sdxl(edited, prompts, seeds, **gen_kwargs),
+                    out_dir / "post_edit", names)
+    print(f"Done. Results in {out_dir}")
+    return edited, (d1, d2)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--instruction_path", required=True)
@@ -73,11 +150,11 @@ def main(argv=None):
 
     hparams = load_hparams(instruction["hparams"], hparams_dir=args.hparams_dir)
     print(f"Loaded hparams {instruction['hparams']}: layers {hparams.layers}")
+    if model_ckpt.startswith("sdxl"):
+        return _main_sdxl(args, instruction, hparams, requests, mom2_weight,
+                          edit_weight, val_prompts, out_dir, sample_num)
     if model_ckpt not in ("sd-v1.4", "sd-v1.5"):
-        raise NotImplementedError(
-            f"model_ckpt {model_ckpt!r} — the SDXL CLI path lands with the "
-            "dual-encoder engine"
-        )
+        raise SystemExit(f"unknown model_ckpt {model_ckpt!r}")
 
     if args.tiny:
         # include the request/val vocabulary so tiny runs tokenize sensibly

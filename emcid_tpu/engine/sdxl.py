@@ -27,7 +27,7 @@ from emcid_tpu.engine.compute_z import prepare_concept_batch
 from emcid_tpu.engine.emcid import execute_emcid_text_encoder
 from emcid_tpu.hparams import EMCIDHyperParams, EMCIDXLHyperParams
 from emcid_tpu.models.scheduler import add_noise
-from emcid_tpu.models.sdxl import SDXLComponents, sdxl_time_ids
+from emcid_tpu.models.sdxl import SDXLComponents, generate_sdxl, sdxl_time_ids
 
 
 def encoder_hparams_view(hparams: EMCIDXLHyperParams, which: int
@@ -219,6 +219,113 @@ def execute_emcid_sd_xl_text_encoders(
         edit_weight=edit_weight, verbose=verbose,
     )
     return deltas_1, deltas_2, components.replace_text_params(new_p1, new_p2)
+
+
+def resolve_covariances_sdxl(
+    components: SDXLComponents,
+    hparams: EMCIDXLHyperParams,
+    stats_dir_1=None,
+    stats_dir_2=None,
+    captions=None,
+    verbose: bool = True,
+):
+    """Per-encoder covariance resolution (separate stats dirs —
+    XL_STATS_DIR1/2, reference emcid_main.py:1085-1425), with the same
+    cache → captions → synthetic fallback as the SD path."""
+    import dataclasses as _dc
+
+    from emcid_tpu.engine.editor import resolve_covariances
+    from emcid_tpu.globals_cfg import XL_STATS_DIR1, XL_STATS_DIR2
+    from emcid_tpu.models.pipeline import SDComponents
+
+    def view(which):
+        text, params = components.encoder(which)
+        return SDComponents(
+            tokenizer=components.tokenizer, text_encoder=text,
+            text_params=params, unet=components.unet,
+            unet_params=components.unet_params, vae=components.vae,
+            vae_params=components.vae_params,
+        )
+
+    covs_1 = resolve_covariances(
+        view(1), encoder_hparams_view(hparams, 1),
+        stats_dir=stats_dir_1 or XL_STATS_DIR1, captions=captions,
+        verbose=verbose,
+    )
+    covs_2 = resolve_covariances(
+        view(2), encoder_hparams_view(hparams, 2),
+        stats_dir=stats_dir_2 or XL_STATS_DIR2, captions=captions,
+        verbose=verbose,
+    )
+    return covs_1, covs_2
+
+
+def sdxl_training_latents(
+    components: SDXLComponents,
+    requests: Sequence[Dict],
+    hparams,
+    height: int = 1024,
+    width: int = 1024,
+    num_inference_steps: int = 50,
+    verbose: bool = False,
+):
+    """(C, Simg, P, h, w, c) training-image posterior for SDXL requests:
+    provided images, else SDXL-sampled source-prompt images."""
+    from emcid_tpu.engine.training_images import (
+        encode_posterior, preprocess_images,
+    )
+    from emcid_tpu.models.pipeline import SDComponents
+
+    Simg = getattr(hparams, "samples_per_prompt", 1)
+    P = len(requests[0]["prompts"])
+    imgs_all = []
+    for request in requests:
+        imgs = None
+        if "training_img_paths" in request:
+            import os
+
+            from PIL import Image
+
+            paths = request["training_img_paths"]
+            if all(os.path.exists(pp) for pp in paths):
+                imgs = [Image.open(pp) for pp in paths]
+            else:
+                print(f"[emcid_tpu] training_img_paths missing on disk "
+                      f"({paths[0]}...) — falling back to generation")
+        elif "images" in request:
+            imgs = request["images"]
+        if imgs is not None:
+            arr = preprocess_images(imgs, resolution=height)
+            need = Simg * P
+            reps = int(np.ceil(need / len(arr)))
+            arr = np.tile(arr, (reps, 1, 1, 1))[:need]
+        else:
+            seed0 = int(request.get("seed_train") or 0)
+            prompts, seeds = [], []
+            for s in range(Simg):
+                for p_i, p in enumerate(request["prompts"]):
+                    prompts.append(p.format(request["source"]))
+                    seeds.append(seed0 * 10007 + s * 101 + p_i)
+            if verbose:
+                print(f"generating {len(prompts)} SDXL training images")
+            imgs = generate_sdxl(components, prompts, seeds,
+                                 num_inference_steps=num_inference_steps,
+                                 height=height, width=width)
+            arr = imgs.astype(np.float32) / 255.0 * 2.0 - 1.0
+        imgs_all.append(arr)
+    arr = np.concatenate(imgs_all)
+    vae_view = SDComponents(
+        tokenizer=components.tokenizer, text_encoder=components.text_encoder,
+        text_params=components.text_params, unet=components.unet,
+        unet_params=components.unet_params, vae=components.vae,
+        vae_params=components.vae_params,
+        scaling_factor=components.scaling_factor,
+    )
+    mean, logvar = encode_posterior(vae_view, arr)
+    h, w, ch = mean.shape[1:]
+    C = len(requests)
+    return (mean.reshape(C, Simg, P, h, w, ch),
+            logvar.reshape(C, Simg, P, h, w, ch))
 
 
 def apply_emcid_to_sdxl_text_encoders(

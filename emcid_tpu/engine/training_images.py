@@ -80,13 +80,21 @@ def training_latents_for_requests(
 
     for c, request in enumerate(requests):
         src_prompts = [p.format(request["source"]) for p in request["prompts"]]
-        if "training_img_paths" in request or "images" in request:
-            if "training_img_paths" in request:
-                from PIL import Image
+        imgs = None
+        if "training_img_paths" in request:
+            import os
 
-                imgs = [Image.open(p) for p in request["training_img_paths"]]
+            from PIL import Image
+
+            paths = request["training_img_paths"]
+            if all(os.path.exists(pp) for pp in paths):
+                imgs = [Image.open(pp) for pp in paths]
             else:
-                imgs = request["images"]
+                print(f"[emcid_tpu] training_img_paths missing on disk "
+                      f"({paths[0]}...) — falling back to generation")
+        elif "images" in request:
+            imgs = request["images"]
+        if imgs is not None:
             arr = preprocess_images(imgs, resolution=height)
             # tile/truncate to (Simg, P)
             need = Simg * P

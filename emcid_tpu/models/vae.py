@@ -126,7 +126,8 @@ class Decoder(nn.Module):
                                    name=f"up_blocks_{lvl}_resnets_{j}")(h)
             if lvl < n - 1:
                 B, H, W, C = h.shape
-                h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
+                h = jnp.broadcast_to(h[:, :, None, :, None, :],
+                                     (B, H, 2, W, 2, C)).reshape(B, 2 * H, 2 * W, C)
                 h = nn.Conv(out_ch, (3, 3), padding=((1, 1), (1, 1)),
                             dtype=self.dtype,
                             name=f"up_blocks_{lvl}_upsamplers_0_conv")(h)
