@@ -240,6 +240,25 @@ def cmd_i2p(args):
           f"summarize with evals.i2p_eval")
 
 
+def cmd_mend(args):
+    """Concept rectification (reference sh_scripts/rectification launcher)."""
+    from emcid_tpu.evals.rectification import emcid_test_imgnet_mend
+
+    comps, hparams, gen_kwargs = _setup(args)
+    scorer = _vit_scorer(args)
+    emcid_test_imgnet_mend(
+        comps, scorer, hparams, args.hparam, num_edit=args.num_edit,
+        method=args.method, mom2_weight=args.mom2_weight,
+        edit_weight=args.edit_weight, data_dir=args.data_dir,
+        cache_dir=args.cache_dir, results_dir=args.results_dir,
+        gen_kwargs=gen_kwargs,
+        specificity_classes=args.specificity_classes,
+        apply_kwargs=dict(
+            stats_dir=args.stats_dir,
+            num_inference_steps=gen_kwargs["num_inference_steps"]),
+    )
+
+
 def cmd_layer_stats(args):
     """Covariance pre-cache CLI (reference emcid/layer_stats.py main, :34-134)."""
     from emcid_tpu.dsets.stat_dataset import TokenizedDataset, make_synthetic_captions
@@ -328,6 +347,13 @@ def main(argv=None):
     p.add_argument("--num_requests", type=int, default=None)
     p.add_argument("--tag", default="post_edit")
 
+    p = sub.add_parser("mend")
+    _add_common(p)
+    p.add_argument("--num_edit", type=int, default=140)
+    p.add_argument("--method", default="emcid", choices=["emcid", "uce"])
+    p.add_argument("--specificity_classes", type=int, default=None)
+    p.add_argument("--vit_checkpoint", default=None)
+
     p = sub.add_parser("layer_stats")
     _add_common(p)
     p.add_argument("--layers", default="0-11")
@@ -351,6 +377,8 @@ def main(argv=None):
         cmd_coco(args)
     elif args.cmd == "i2p":
         cmd_i2p(args)
+    elif args.cmd == "mend":
+        cmd_mend(args)
     elif args.cmd == "layer_stats":
         cmd_layer_stats(args)
     elif args.cmd == "sequential":

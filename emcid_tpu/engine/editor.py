@@ -192,9 +192,23 @@ def apply_emcid(
         zs=zs, covs=covs, mom2_weight=mom2_weight, edit_weight=edit_weight,
         solve_method=solve_method, verbose=verbose,
     )
+    edited = components.replace_text_params(new_text_params)
+    if getattr(hparams, "add_uce_edit", False):
+        # UCE-hybrid (the shipped *_uce.json hparams; reference
+        # emcid_test.py:377-414): follow the closed-form text-encoder edit
+        # with the UCE cross-attn edit for the same concepts
+        from emcid_tpu.engine.uce import edit_model_uce
+
+        edited = edit_model_uce(
+            edited,
+            [r["source"] for r in requests],
+            [r.get("dest") or " " for r in requests],
+        )
+        if verbose:
+            print("applied UCE cross-attn hybrid edit")
     if verbose:
         print(
             f"Edited {len(requests)} concept(s) across layers "
             f"{list(hparams.layers)} in {time.time() - t0:.1f}s"
         )
-    return components.replace_text_params(new_text_params), deltas
+    return edited, deltas

@@ -27,7 +27,10 @@ def setup_compilation_cache() -> None:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        # long-compile programs only: keeps throwaway CPU builds out
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # CPU (tests) caches aggressively — dirs are per-platform so feature
+        # mismatch across backends can't occur; TPU keeps a higher floor
+        min_secs = 1.0 if platform == "cpu" else 5.0
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_secs)
     except Exception:  # pragma: no cover — cache is best-effort
         pass
