@@ -147,7 +147,15 @@ def trace_important_states(
     For each (token t, center layer l): corrupt the subject embeddings,
     restore the window of layers around l at token t, generate, and score
     the traced image with ``score_fn(image) -> float``.  Returns the
-    (len(tokens), len(layers)) heatmap."""
+    (len(tokens), len(layers)) heatmap.
+
+    TPU-first: all token cells of one layer run as ONE batch — rows 1..K all
+    patch from the clean row 0 (the reference generates each cell with its
+    own pipe() call, causal_trace.py:554-661), so a sweep is len(layers)
+    sampler calls instead of len(layers)*len(tokens).
+    """
+    from emcid_tpu.models.pipeline import _get_sampler, initial_latents
+
     n_layers = components.text_encoder.config.num_hidden_layers
     layers = list(layers if layers is not None else range(n_layers))
     tok = components.tokenizer
@@ -157,19 +165,45 @@ def trace_important_states(
     if score_fn is None:
         raise ValueError("score_fn is required (e.g. a ViT/CLIP scorer)")
 
+    gk = dict(num_inference_steps=10, height=512, width=512)
+    gk.update(gen_kwargs or {})
+    S = tok.model_max_length
+    B = 1 + len(tokens)  # clean row 0 + one corrupted+patched row per token
+    enc_b = tok([prompt] * B, padding="max_length", truncation=True,
+                max_length=S)
+    ids = np.asarray(enc_b["input_ids"])
+    tr = find_token_range(tok, ids[0, :n_real], subject)
+    H = components.text_encoder.config.hidden_size
+    rs = np.random.RandomState(1)
+    base_noise = noise_scale * rs.randn(tr[1] - tr[0], H).astype(np.float32)
+    noise = np.zeros((B, S, H), np.float32)
+    noise[1:, tr[0]:tr[1]] = base_noise  # same corruption for every row
+
+    uncond, _ = corrupted_embeddings(components, "", "[EOS]", 0.0)
+    uncond_b = jnp.broadcast_to(uncond[0:1], (B,) + uncond.shape[1:])
+    lat0 = initial_latents([seed] * B, gk["height"], gk["width"],
+                           components.latent_channels, components.vae_scale)
+    run = _get_sampler(components.unet, components.schedule,
+                       gk["num_inference_steps"], "ddim", True)
+
     heat = np.zeros((len(tokens), len(layers)), np.float32)
-    for ti, t in enumerate(tokens):
-        for li, l in enumerate(layers):
-            patch = [
-                (lw, t)
-                for lw in range(max(0, l - window // 2),
-                                min(n_layers, l - window // 2 + window))
-            ]
-            imgs = trace_with_patch_text_encoder(
-                components, prompt, subject, patch, noise_scale, seed,
-                gen_kwargs=gen_kwargs,
-            )
-            heat[ti, li] = float(score_fn(imgs[1]))
+    for li, l in enumerate(layers):
+        spec = {}
+        for lw in range(max(0, l - window // 2),
+                        min(n_layers, l - window // 2 + window)):
+            m = np.zeros((B, S), np.float32)
+            for ti, t in enumerate(tokens):
+                m[1 + ti, t] = 1.0
+            spec[int(lw)] = jnp.asarray(m)
+        ctx = components.text_encoder.apply(
+            {"params": components.text_params}, jnp.asarray(ids),
+            embed_noise=jnp.asarray(noise), patch_spec=spec,
+        ).last_hidden_state
+        lat = run(components.unet_params, lat0, ctx, uncond_b,
+                  jnp.float32(7.5))
+        imgs = decode_latents(components, lat)
+        for ti in range(len(tokens)):
+            heat[ti, li] = float(score_fn(imgs[1 + ti]))
     return heat
 
 
