@@ -44,6 +44,7 @@ def resolve_covariances(
     stats_dir=None,
     captions: Optional[Sequence[str]] = None,
     allow_synthetic: bool = True,
+    mesh=None,
     verbose: bool = True,
 ) -> List[jnp.ndarray]:
     """Per-layer second moments: cache → provided captions → synthetic."""
@@ -59,6 +60,7 @@ def resolve_covariances(
                 mom2_dtype=hparams.mom2_dtype,
                 stat_dir=stats_dir or STATS_DIR,
                 captions=captions,
+                mesh=mesh,
                 verbose=verbose,
             )
         except FileNotFoundError:
@@ -83,6 +85,7 @@ def resolve_covariances(
                 captions=make_synthetic_captions(
                     min(hparams.mom2_n_samples, 2000)
                 ),
+                mesh=mesh,
                 verbose=verbose,
             )
         covs.append(C)
@@ -98,11 +101,48 @@ def compute_zs_for_requests(
     rng_seed: int = 0,
     num_inference_steps: int = 50,
     fim: Optional[np.ndarray] = None,
+    mesh=None,
     verbose: bool = True,
 ) -> np.ndarray:
-    """All concepts' z vectors (R, T, H): cache hits + blocked Stage-1 runs."""
+    """All concepts' z vectors (R, T, H): cache hits + blocked Stage-1 runs.
+
+    Variant dispatch matches the reference's routing (emcid_main.py:911-945):
+    ``sld_supervision`` requests go through the SLD-supervised per-request
+    path (compute_z_text_encoder_global); ``txt_img_align_scale_factor`` and
+    the request-level ``txt_img_align`` flag enable the image-side alignment
+    term inside the batched optimizer (reference compute_z v1 path,
+    compute_z.py:1360-1775); ``use_new_compute_z`` multi-token targets are
+    the ``num_edit_tokens`` > 1 dimension of the same program.
+
+    With ``mesh``, the concept axis of each Stage-1 block shards over the
+    device mesh (models replicated); blocks pad to ``block_size`` so one
+    compiled program serves every block and every shard divides evenly.
+    """
     z_list, missing = load_z_list(requests, cache_name, hparams)
+    if missing and getattr(hparams, "sld_supervision", False):
+        from emcid_tpu.engine.compute_z_variants import (
+            compute_z_text_encoder_global,
+        )
+
+        for i in missing:
+            z = compute_z_text_encoder_global(
+                components, requests[i], hparams, hparams.layers[-1],
+                rng=jax.random.PRNGKey(rng_seed + i), verbose=verbose,
+            )
+            z_list[i] = z
+            if cache_name is not None:
+                save_z_cache(cache_name, requests[i], z, hparams, idx=i)
+        missing = []
     if missing:
+        if mesh is not None:
+            from emcid_tpu.parallel import pad_to_multiple, replicate
+
+            block_size = pad_to_multiple(block_size, mesh.devices.size)
+            text_params = replicate(components.text_params, mesh)
+            unet_params = replicate(components.unet_params, mesh)
+        else:
+            text_params = components.text_params
+            unet_params = components.unet_params
         optz = ZOptimizer(
             components.text_encoder, components.unet, components.schedule,
             hparams, layer=hparams.layers[-1], fim=fim,
@@ -111,32 +151,34 @@ def compute_zs_for_requests(
         for start in range(0, len(missing), block_size):
             idxs = missing[start:start + block_size]
             block = [requests[i] for i in idxs]
-            # pad the block to the full size so one compiled program serves
-            # every block; padded results are dropped
-            pad = 0
-            if start + block_size > len(missing) and len(block) < block_size \
-                    and start > 0:
-                pad = block_size - len(block)
+            # pad every block (incl. a short first one: an odd shape costs a
+            # full XLA compile — minutes on a remote TPU); padded results are
+            # dropped
+            pad = block_size - len(block)
+            if pad:
                 block = block + [block[-1]] * pad
             t0 = time.time()
             mean, logvar = training_latents_for_requests(
                 components, block, hparams, height=res, width=res,
-                num_inference_steps=num_inference_steps, verbose=verbose,
+                num_inference_steps=num_inference_steps, mesh=mesh,
+                verbose=verbose,
             )
             arrays, _, _ = prepare_concept_batch(
                 components.tokenizer, block, hparams
             )
-            batch = ConceptBatch(
-                source_ids=jnp.asarray(arrays["source_ids"]),
-                dest_ids=jnp.asarray(arrays["dest_ids"]),
-                inject_mask=jnp.asarray(arrays["inject_mask"]),
-                source_lookup=jnp.asarray(arrays["source_lookup"]),
-                dest_lookup=jnp.asarray(arrays["dest_lookup"]),
-                latents_mean=jnp.asarray(mean),
-                latents_logvar=jnp.asarray(logvar),
-            )
+            arrays["latents_mean"] = np.asarray(mean)
+            arrays["latents_logvar"] = np.asarray(logvar)
+            if mesh is None:
+                put = jnp.asarray
+            else:
+                from emcid_tpu.parallel import shard_batch
+
+                put = lambda x: shard_batch(jnp.asarray(x), mesh)
+            batch = ConceptBatch(**{
+                k: put(arrays[k]) for k in ConceptBatch._fields
+            })
             zs, delta, z0, losses = optz.run(
-                components.text_params, components.unet_params, batch,
+                text_params, unet_params, batch,
                 jax.random.PRNGKey(rng_seed + start),
             )
             zs = np.asarray(zs)
@@ -145,7 +187,8 @@ def compute_zs_for_requests(
             for k, i in enumerate(idxs):
                 z_list[i] = zs[k]
                 if cache_name is not None:
-                    save_z_cache(cache_name, requests[i], zs[k], hparams)
+                    save_z_cache(cache_name, requests[i], zs[k], hparams,
+                                 idx=i)
             if verbose:
                 print(
                     f"stage1 block {start // block_size}: {len(idxs)} concepts "
@@ -169,22 +212,24 @@ def apply_emcid(
     block_size: int = 32,
     solve_method: str = "f32_ir",
     num_inference_steps: int = 50,
+    mesh=None,
     verbose: bool = True,
 ) -> Tuple[SDComponents, Dict]:
     """Full two-stage edit of a pipeline's text encoder.
 
     Returns (edited_components, deltas).  ``components`` is unchanged
-    (functional restore = keep using it).
+    (functional restore = keep using it).  With ``mesh``, training-image
+    generation and the Stage-1 concept blocks shard over the device mesh.
     """
     t0 = time.time()
     covs = resolve_covariances(
         components, hparams, stats_dir=stats_dir, captions=stats_captions,
-        verbose=verbose,
+        mesh=mesh, verbose=verbose,
     )
     zs = compute_zs_for_requests(
         components, requests, hparams, cache_name=cache_name,
         block_size=block_size, num_inference_steps=num_inference_steps,
-        verbose=verbose,
+        mesh=mesh, verbose=verbose,
     )
     deltas, new_text_params = execute_emcid_text_encoder(
         components.text_encoder, components.text_params,

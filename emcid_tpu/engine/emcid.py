@@ -54,12 +54,18 @@ from emcid_tpu.models.naming import get_weight, set_weight
 from emcid_tpu.ops.solve import solve_adj_k, upd_matrix_match_shape
 
 
-def z_cache_path(cache_name: str, request: Dict, hparams=None) -> Path:
+def z_cache_path(cache_name: str, request: Dict, hparams=None,
+                 idx: Optional[int] = None) -> Path:
     """Per-concept z cache path (reference emcid_main.py:871-907):
     ``{cache_name}source_{source}_dest_{dest}.npz`` (key "v_star");
-    esd objective omits the dest."""
+    esd objective omits the dest; SLD-supervised (global-concept) requests
+    key on ``source_{source_cat}_{idx}`` (reference :879-884)."""
     if hparams is not None and "esd" in getattr(hparams, "objective", ""):
         return Path(f"{cache_name}source_{request['source']}.npz")
+    if hparams is not None and getattr(hparams, "sld_supervision", False):
+        return Path(
+            f"{cache_name}source_{request['source_cat']}_{idx}.npz"
+        )
     return Path(
         f"{cache_name}source_{request['source']}_dest_{request['dest']}.npz"
     )
@@ -76,7 +82,7 @@ def load_z_list(
     for i, request in enumerate(requests):
         z = None
         if cache_name is not None:
-            p = z_cache_path(cache_name, request, hparams)
+            p = z_cache_path(cache_name, request, hparams, idx=i)
             if p.exists():
                 try:
                     z = np.load(p)["v_star"]
@@ -88,8 +94,9 @@ def load_z_list(
     return zs, missing
 
 
-def save_z_cache(cache_name: str, request: Dict, z: np.ndarray, hparams=None):
-    p = z_cache_path(cache_name, request, hparams)
+def save_z_cache(cache_name: str, request: Dict, z: np.ndarray, hparams=None,
+                 idx: Optional[int] = None):
+    p = z_cache_path(cache_name, request, hparams, idx=idx)
     p.parent.mkdir(exist_ok=True, parents=True)
     np.savez(p, v_star=np.asarray(z))
 

@@ -108,6 +108,7 @@ def layer_stats_text_encoder(
     force_recompute: bool = False,
     progress=None,
     max_length: Optional[int] = None,
+    mesh=None,
 ) -> CombinedStat:
     """Load-or-compute cached stats for one layer's fc2 input.
 
@@ -143,24 +144,41 @@ def layer_stats_text_encoder(
     extract = make_fc2_in_extractor(model, layer_index)
     max_length = max_length or tokenizer.model_max_length
     iterator = progress(loader) if progress else loader
+    if mesh is not None:
+        from emcid_tpu.parallel import pad_to_multiple, replicate, shard_batch
+
+        params = replicate(params, mesh)
     for batch_texts in iterator:
         enc = tokenizer(batch_texts, padding="max_length", truncation=True,
                         max_length=max_length)
-        feats, _ = extract(
-            params, jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"])
-        )
-        # masked rows are exactly zero → contribute nothing to a^T a;
-        # but Mean/NormMean must only see real tokens, so gather on host
-        # only when those stats are requested.
+        ids = np.asarray(enc["input_ids"], np.int32)
+        mask = np.asarray(enc["attention_mask"], np.int32)
+        # pad the caption batch to a fixed shape (the last batch is short;
+        # zero-mask rows produce exactly-zero features, so they contribute
+        # nothing to a^T a and only the count needs masking) — one compiled
+        # program serves every batch, and the batch axis divides the mesh
+        n_rows = batch_size
+        if mesh is not None:
+            n_rows = pad_to_multiple(max(n_rows, ids.shape[0]),
+                                     mesh.devices.size)
+        if ids.shape[0] < n_rows:
+            pad = n_rows - ids.shape[0]
+            ids = np.pad(ids, ((0, pad), (0, 0)))
+            mask = np.pad(mask, ((0, pad), (0, 0)))
+        ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
+        if mesh is not None:
+            ids_d = shard_batch(ids_d, mesh)
+            mask_d = shard_batch(mask_d, mesh)
+        feats, n_valid = extract(params, ids_d, mask_d)
+        # masked/padded rows are exactly zero → contribute nothing to a^T a;
+        # Mean/NormMean must only see real tokens, so gather on host only
+        # when those stats are requested.
         if set(to_collect) == {"mom2"}:
             flat = feats.reshape(-1, feats.shape[-1])
-            stat.mom2.add(flat)
-            # correct the count: zero rows were added as observations
-            n_pad = flat.shape[0] - int(np.asarray(enc["attention_mask"]).sum())
-            stat.mom2.count -= n_pad
+            stat.mom2.add(flat, n_valid=int(n_valid))
         else:
-            mask = np.asarray(enc["attention_mask"]).reshape(-1).astype(bool)
-            flat = np.asarray(feats).reshape(-1, feats.shape[-1])[mask]
+            real = mask.reshape(-1).astype(bool)
+            flat = np.asarray(feats).reshape(-1, feats.shape[-1])[real]
             stat.add(flat)
     return stat
 
@@ -179,6 +197,7 @@ def get_cov_text_encoder(
     inv: bool = False,
     force_recompute: bool = False,
     verbose: bool = True,
+    mesh=None,
 ) -> jnp.ndarray:
     """Memoized covariance retrieval (reference emcid_main.py:2239-2276):
     returns ``mom2.moment()`` (the count-normalized second moment)."""
@@ -191,7 +210,7 @@ def get_cov_text_encoder(
             stats_dir=stat_dir, ds_name=mom2_dataset,
             sample_size=mom2_n_samples, precision=mom2_dtype,
             captions=captions, force_recompute=force_recompute,
-            model_name=model_name,
+            model_name=model_name, mesh=mesh,
         )
         COV_CACHE[key] = np.asarray(stat.mom2.moment(), dtype=np.float32)
     C = jnp.asarray(COV_CACHE[key])

@@ -62,6 +62,7 @@ def training_latents_for_requests(
     num_inference_steps: int = 50,
     guidance_scale: float = 7.5,
     batch_size: Optional[int] = None,
+    mesh=None,
     verbose: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(C, Simg, P, h, w, c) scaled posterior mean/logvar for all requests.
@@ -117,7 +118,7 @@ def training_latents_for_requests(
             print(f"generating {len(gen_prompts)} training images")
         imgs = generate(
             components, gen_prompts, gen_seeds,
-            batch_size=batch_size,
+            batch_size=batch_size, mesh=mesh,
             num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale,
             height=height, width=width,

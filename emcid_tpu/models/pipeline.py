@@ -162,8 +162,13 @@ def sample_latents(
     height: int = 512,
     width: int = 512,
     sampler: str = "pndm",
+    mesh=None,
 ) -> jnp.ndarray:
-    """Denoise to final latents (pre-VAE)."""
+    """Denoise to final latents (pre-VAE).
+
+    With ``mesh``, the image batch shards over the device mesh (params
+    replicated, batch axis split) — per-image seeding makes results
+    identical to the single-device run regardless of device count."""
     assert len(prompts) == len(seeds), "one seed per prompt"
     ctx_cond = encode_prompts(components, prompts)
     do_cfg = guidance_scale > 1.0
@@ -174,14 +179,30 @@ def sample_latents(
         ctx_uncond = ctx_cond
     latents = initial_latents(seeds, height, width,
                               components.latent_channels, components.vae_scale)
+    unet_params = components.unet_params
+    if mesh is not None:
+        from emcid_tpu.parallel import replicate, shard_batch
+
+        if len(prompts) % mesh.devices.size:
+            raise ValueError(
+                f"batch {len(prompts)} must divide the mesh "
+                f"({mesh.devices.size} devices); pad the chunk (generate() "
+                "does this automatically)"
+            )
+        latents = shard_batch(latents, mesh)
+        ctx_cond = shard_batch(ctx_cond, mesh)
+        ctx_uncond = shard_batch(ctx_uncond, mesh)
+        unet_params = replicate(unet_params, mesh)
     run = _get_sampler(components.unet, components.schedule,
                        num_inference_steps, sampler, do_cfg)
-    return run(components.unet_params, latents, ctx_cond, ctx_uncond,
+    return run(unet_params, latents, ctx_cond, ctx_uncond,
                jnp.float32(guidance_scale))
 
 
-def decode_latents(components: SDComponents, latents: jnp.ndarray) -> np.ndarray:
-    """Latents → uint8 RGB images (B, H, W, 3)."""
+def decode_latents(components: SDComponents, latents: jnp.ndarray,
+                   mesh=None) -> np.ndarray:
+    """Latents → uint8 RGB images (B, H, W, 3).  A sharded latent batch
+    decodes sharded (params replicated); the host transfer gathers."""
 
     @jax.jit
     def dec(vae_params, lat):
@@ -191,7 +212,13 @@ def decode_latents(components: SDComponents, latents: jnp.ndarray) -> np.ndarray
         )
         return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
 
-    img = dec(components.vae_params, latents)
+    vae_params = components.vae_params
+    if mesh is not None:
+        from emcid_tpu.parallel import replicate, shard_batch
+
+        latents = shard_batch(latents, mesh)
+        vae_params = replicate(vae_params, mesh)
+    img = dec(vae_params, latents)
     return np.asarray(jnp.round(img * 255).astype(jnp.uint8))
 
 
@@ -218,23 +245,31 @@ def generate(
     prompts: Sequence[str],
     seeds: Sequence[int],
     batch_size: Optional[int] = None,
+    mesh=None,
     **kwargs,
 ) -> np.ndarray:
     """End-to-end text→image.  Chunks the prompt list into fixed-size batches
-    (one compiled program reused across chunks; the last chunk is padded so
-    shapes stay static)."""
+    — EVERY chunk (including a short first one) is padded to ``batch_size``
+    so exactly one program shape compiles — and shards the image batch over
+    ``mesh`` when given (eval generation is hot loop #1, SURVEY.md §3)."""
     prompts, seeds = list(prompts), list(seeds)
     n = len(prompts)
     bs = batch_size or n
+    if mesh is not None:
+        from emcid_tpu.parallel import pad_to_multiple
+
+        bs = pad_to_multiple(bs, mesh.devices.size)
     images = []
     for i in range(0, n, bs):
         chunk_p = prompts[i:i + bs]
         chunk_s = seeds[i:i + bs]
-        pad = bs - len(chunk_p)
-        if pad and i > 0:  # keep shapes static across chunks
+        keep = len(chunk_p)
+        pad = bs - keep
+        if pad:  # keep shapes static across chunks (incl. the first: a fresh
+            # shape costs a full XLA compile — minutes on a remote TPU)
             chunk_p = chunk_p + [chunk_p[-1]] * pad
             chunk_s = chunk_s + [0] * pad
-        lat = sample_latents(components, chunk_p, chunk_s, **kwargs)
-        imgs = decode_latents(components, lat)
-        images.append(imgs[: len(prompts[i:i + bs])])
+        lat = sample_latents(components, chunk_p, chunk_s, mesh=mesh, **kwargs)
+        imgs = decode_latents(components, lat, mesh=mesh)
+        images.append(imgs[:keep])
     return np.concatenate(images, axis=0)

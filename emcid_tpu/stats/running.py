@@ -339,14 +339,18 @@ class SecondMoment(Stat):
         self.data_shape = None
         super().__init__(state)
 
-    def add(self, a):
+    def add(self, a, n_valid=None):
+        """Accumulate ``a^T a``.  ``n_valid`` overrides the observation count
+        for batches padded with all-zero rows (zero rows contribute nothing
+        to the moment, so only the count needs masking — this keeps shapes
+        static for jit/sharding instead of gathering real rows on host)."""
         self.data_shape, a = _normalize_add_shape(self.data_shape, a)
         if a.shape[0] == 0:
             return
         if self.count == 0:
             xp = jnp if _HAVE_JAX else np
             self.mom2 = xp.zeros((a.shape[1], a.shape[1]), dtype=xp.float32)
-        self.count += a.shape[0]
+        self.count += int(n_valid) if n_valid is not None else a.shape[0]
         if _HAVE_JAX:
             self.mom2 = _mom2_accumulate(self.mom2, a)
         else:
