@@ -224,6 +224,20 @@ def cmd_coco(args):
     generate_coco(comps, rows, out, gen_kwargs=gen_kwargs,
                   batch_size=args.batch_size)
     print(f"{len(rows)} COCO images in {out}")
+    if args.fid_ref_dir:
+        # COCO-30k FID against the real-image folder (reference
+        # scripts/test_fid_score.py:27-43, pytorch-fid dims=2048)
+        from emcid_tpu.evals.scorers import fid_between_folders
+        from emcid_tpu.models.inception import make_fid_extractor
+
+        if args.inception_weights is None:
+            print("[workflows] no --inception_weights: FID uses a randomly "
+                  "initialized InceptionV3 (structure-only smoke run)")
+        extractor = make_fid_extractor(args.inception_weights,
+                                       batch_size=args.batch_size)
+        fid = fid_between_folders(args.fid_ref_dir, out, extractor,
+                                  batch_size=args.batch_size)
+        print(f"FID({args.fid_ref_dir}, {out}) = {fid:.4f}")
 
 
 def cmd_i2p(args):
@@ -341,6 +355,11 @@ def main(argv=None):
     p.add_argument("--sub", type=int, default=None)
     p.add_argument("--tag", default="sd_orig")
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--fid_ref_dir", default=None,
+                   help="real-image folder; computes FID(ref, generated)")
+    p.add_argument("--inception_weights", default=None,
+                   help="torch .pth (torchvision/pytorch-fid) or converted "
+                        ".npz InceptionV3 weights")
 
     p = sub.add_parser("i2p")
     _add_common(p)

@@ -156,6 +156,17 @@ class ZOptimizer:
     # (delta, opt_state, rng) carry threaded between executions
     chunk_steps: int = int(os.environ.get("EMCID_TPU_Z_CHUNK", 20))
 
+    # UNet-forward rematerialization policy for the backward pass:
+    #   "full" — jax.checkpoint: backward recomputes the whole forward
+    #            (lowest memory; +1 forward of FLOPs per step);
+    #   "none" — store residuals (fastest: the UNet weights are frozen, so
+    #            the transpose only needs input grads ≈ 1x forward, and the
+    #            recompute forward disappears — per-step cost drops from ~4
+    #            to ~3 forward-equivalents IF the activations fit HBM);
+    #   "dots" — checkpoint_dots policy: save matmul outputs, recompute the
+    #            elementwise glue (middle ground).
+    remat: str = os.environ.get("EMCID_TPU_Z_REMAT", "full")
+
     def __post_init__(self):
         self._run = jax.jit(self._run_impl, static_argnames=("steps",))
 
@@ -252,16 +263,24 @@ class ZOptimizer:
                 text_params, src_ids, delta, inj_mask
             )
 
-            # rematerialize the UNet forward: the backward (w.r.t. the text
-            # context) recomputes activations instead of storing them — the
-            # vmapped concept batch would otherwise hold every attention
-            # activation of every UNet call (HBM blowup; jax.checkpoint is
-            # the FLOPs-for-memory trade SURVEY.md §0 calls for)
-            @jax.checkpoint
+            # rematerialization of the UNet forward for the backward pass
+            # (w.r.t. the text context): see the ``remat`` field.  Flash
+            # attention internals always recompute (custom_vjp), so "none"
+            # stores only conv/dense inputs.
             def unet_fwd(ctx, noisy, timesteps):
                 return self.unet.apply(
                     {"params": unet_params}, noisy, timesteps, ctx
                 ).sample
+
+            if self.remat == "full":
+                unet_fwd = jax.checkpoint(unet_fwd)
+            elif self.remat == "dots":
+                unet_fwd = jax.checkpoint(
+                    unet_fwd,
+                    policy=jax.checkpoint_policies.checkpoint_dots,
+                )
+            elif self.remat != "none":
+                raise ValueError(f"unknown remat policy {self.remat!r}")
 
             def unet_eps(ctx):
                 return unet_fwd(ctx, noisy, timesteps)

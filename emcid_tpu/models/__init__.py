@@ -13,3 +13,10 @@ from emcid_tpu.models.configs import (
     tiny_vae,
 )
 from emcid_tpu.models.clip_text import CLIPTextEncoder, TextOutput
+from emcid_tpu.models.inception import (
+    InceptionV3Features,
+    fid_features,
+    inception_from_torch,
+    load_inception,
+    make_fid_extractor,
+)
