@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import argparse
 import sys
+
+import numpy as np
 from pathlib import Path
 
 
@@ -158,12 +160,27 @@ def cmd_artists(args):
 
 def cmd_debias(args):
     from emcid_tpu.dsets import DebiasRequestDataset
-    from emcid_tpu.engine.debias import apply_emcid_to_text_encoder_debias
 
     comps, hparams, gen_kwargs = _setup(args)
     ds = DebiasRequestDataset(data_dir=args.data_dir)
     requests = ds.requests[: args.num_requests] if args.num_requests else ds.requests
     scorer = _clip_scorer(args, comps)
+    if args.method == "uce":
+        # iterative UCE ratio-feedback loop (reference uce_train.py:597-843)
+        from emcid_tpu.engine.uce import edit_model_debias
+
+        edited, weights, init_ratios, ratios = edit_model_debias(
+            comps, scorer,
+            [r["source"] for r in requests],
+            [r["dests"] for r in requests],
+            max_iters=args.max_iter, num_samples=args.num_samples,
+            gen_kwargs=gen_kwargs,
+        )
+        print("init ratios:", [np.round(r, 3).tolist() for r in init_ratios])
+        print("final ratios:", [np.round(r, 3).tolist() for r in ratios])
+        return
+    from emcid_tpu.engine.debias import apply_emcid_to_text_encoder_debias
+
     edited, deltas, factors = apply_emcid_to_text_encoder_debias(
         comps, requests, hparams, scorer,
         mom2_weight=args.mom2_weight, edit_weight=args.edit_weight,
@@ -349,6 +366,7 @@ def main(argv=None):
     p.add_argument("--max_iter", type=int, default=10)
     p.add_argument("--num_samples", type=int, default=25)
     p.add_argument("--clip_checkpoint", default=None)
+    p.add_argument("--method", default="emcid", choices=["emcid", "uce"])
 
     p = sub.add_parser("coco")
     _add_common(p)

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from emcid_tpu.models.pipeline import SDComponents, encode_prompts
+from emcid_tpu.models.pipeline import SDComponents, encode_prompts, generate
 from emcid_tpu.models.unet import cross_attn_kv_layer_names
 
 
@@ -254,3 +254,202 @@ def edit_text_encoder_uce(
         w_new = jnp.linalg.solve(mat2.T, mat1.T).T
         new_params = set_weight(new_params, mod_name, w_new)
     return components.replace_text_params(new_params)
+
+
+# ---------------------------------------------------------------------------
+# Iterative UCE debias (reference uce_train.py:597-843: get_ratios +
+# edit_model_debias)
+# ---------------------------------------------------------------------------
+
+
+def _aligned_rows_multi(
+    components: SDComponents, old_text: str, new_texts: Sequence[str]
+) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """Old-context rows + per-class rows over the shared aligned window
+    (reference uce_train.py:784-806): final index = n_real - 2 per text,
+    window end trimmed by the farthest final index across old + all new."""
+    tok = components.tokenizer
+    texts = [old_text] + list(new_texts)
+    enc = tok(texts, padding="max_length", truncation=True,
+              max_length=tok.model_max_length)
+    emb = encode_prompts(components, texts).astype(jnp.float32)
+    S = emb.shape[1]
+    fis = [int(np.asarray(m).sum()) - 2 for m in enc["attention_mask"]]
+    far = max(fis)
+    rows = [emb[i, fi: S - max(0, far - fi)] for i, fi in enumerate(fis)]
+    return rows[0], rows[1:]
+
+
+def debias_ratios(
+    components: SDComponents,
+    scorer,
+    concepts: Sequence[str],
+    classes: Sequence[Sequence[str]],
+    prev_ratio=None,
+    ratio_diff=None,
+    max_ratio_gap: float = 0.05,
+    num_samples: int = 10,
+    num_seeds: int = 5,
+    seed: int = 0,
+    gen_kwargs: Optional[dict] = None,
+    mesh=None,
+) -> List[np.ndarray]:
+    """CLIP-classified class ratios per concept (reference get_ratios,
+    uce_train.py:597-629): generate num_seeds x num_samples images of each
+    concept with the CURRENT model, argmax CLIP probs over the class texts.
+    Concepts whose previous max gap is below ``max_ratio_gap`` are bypassed.
+    """
+    from emcid_tpu.engine.debias import classify_ratio
+
+    rng = np.random.RandomState(seed)
+    seeds = rng.randint(5000, size=num_seeds)
+    gk = dict(num_inference_steps=20, guidance_scale=7.5)
+    gk.update(gen_kwargs or {})
+    ratios: List[np.ndarray] = []
+    for idx, concept in enumerate(concepts):
+        if ratio_diff is not None and ratio_diff[idx] < max_ratio_gap:
+            ratios.append(prev_ratio[idx])
+            continue
+        prompts, im_seeds = [], []
+        for s in seeds:
+            prompts += [concept] * num_samples
+            im_seeds += [int(s) * 1009 + j for j in range(num_samples)]
+        imgs = generate(components, prompts, im_seeds, mesh=mesh, **gk)
+        ratios.append(np.asarray(
+            classify_ratio(scorer, imgs, list(classes[idx]))))
+    return ratios
+
+
+def edit_model_debias(
+    components: SDComponents,
+    scorer,
+    old_texts: Sequence[str],
+    new_texts: Sequence[Sequence[str]],
+    retain_texts: Optional[Sequence[str]] = None,
+    add: bool = True,
+    lamb: float = 0.1,
+    erase_scale: float = 0.1,
+    preserve_scale: float = 0.1,
+    with_to_k: bool = True,
+    layers_to_edit: Optional[Sequence[int]] = None,
+    max_bias_diff: float = 0.05,
+    max_iters: int = 30,
+    weight_step: float = 0.1,
+    num_samples: int = 1,
+    num_seeds: int = 5,
+    seed: int = 0,
+    gen_kwargs: Optional[dict] = None,
+    mesh=None,
+    verbose: bool = True,
+) -> Tuple[SDComponents, List[np.ndarray], List[np.ndarray], List[np.ndarray]]:
+    """Iterative UCE debias loop (reference edit_model_debias,
+    uce_train.py:641-843).
+
+    Per outer iteration: measure per-concept class ratios with CLIP on
+    images from the CURRENT model, stop when every concept's max deviation
+    from uniform is < ``max_bias_diff``; otherwise set per-class weights
+    ``0.1 * (desired - ratio)`` (zeroed + moved to the retain set once
+    attained) and re-solve every cross-attn K/V projection from its CURRENT
+    weight with value targets ``o + w_j * |o|_F * u_j / |u_j|_F``.
+
+    Returns (edited components, final weights, initial ratios, final ratios).
+    The caller's components are never mutated (functional params).
+    """
+    # ---- format edits (reference :758-776) -------------------------------
+    old_texts = list(old_texts)
+    fmt_new: List[List[str]] = []
+    for old_text, classes in zip(old_texts, new_texts):
+        n_t = []
+        for t in classes:
+            if add and old_text.lower() not in t.lower():
+                n_t.append(t + " " + old_text)
+            else:
+                n_t.append(t)
+        if len(n_t) == 1:
+            n_t = n_t * 2
+        fmt_new.append(n_t)
+    ret_texts = list(retain_texts) if retain_texts else [""]
+
+    desired = [np.ones(len(c)) / len(c) for c in fmt_new]
+    weights = [np.zeros(len(c)) for c in fmt_new]
+
+    kv_names = cross_attn_kv_layer_names(components.unet.config)
+    v_names = [n for n in kv_names if n.endswith(".to_v")]
+    k_names = [n for n in kv_names if n.endswith(".to_k")]
+    proj_names = v_names + (k_names if with_to_k else [])
+    if layers_to_edit is not None:
+        proj_names = [proj_names[i] for i in layers_to_edit]
+
+    edited = components
+    init_ratios = ratios = None
+    prev_ratio = ratio_diff = None
+    for it in range(max_iters):
+        ratios = debias_ratios(
+            edited, scorer, old_texts, fmt_new,
+            prev_ratio=prev_ratio, ratio_diff=ratio_diff,
+            max_ratio_gap=max_bias_diff, num_samples=num_samples,
+            num_seeds=num_seeds, seed=seed, gen_kwargs=gen_kwargs, mesh=mesh,
+        )
+        if init_ratios is None:
+            init_ratios = ratios
+        max_change = [float(np.abs(r - d).max())
+                      for r, d in zip(ratios, desired)]
+        if verbose:
+            print(f"debias iter {it}: ratios "
+                  f"{[np.round(r, 3).tolist() for r in ratios]}")
+        if max(max_change) < max_bias_diff:
+            if verbose:
+                print(f"all concepts debiased at iteration {it}")
+            break
+        prev_ratio, ratio_diff = ratios, max_change
+
+        weights = [weight_step * (d - r) for r, d in zip(ratios, desired)]
+        weights = [w if mc > max_bias_diff else w * 0.0
+                   for w, mc in zip(weights, max_change)]
+        attained = [old_texts[i] for i, w in enumerate(weights) if w[0] == 0]
+        if attained:
+            ret_texts = sorted(set(ret_texts) | set(attained))
+
+        # ---- closed-form re-solve from the CURRENT weights ----------------
+        params = edited.unet_params
+        cur = {n: get_unet_weight(params, n).astype(jnp.float32)
+               for n in proj_names}
+        ctx_dim = next(iter(cur.values())).shape[1]
+        mat1 = {n: lamb * w for n, w in cur.items()}
+        mat2 = lamb * jnp.eye(ctx_dim, dtype=jnp.float32)
+        for cnt, (old_text, classes) in enumerate(zip(old_texts, fmt_new)):
+            c, class_rows = _aligned_rows_multi(edited, old_text, classes)
+            mat2 = mat2 + erase_scale * c.T @ c
+            for n, w in cur.items():
+                o = c @ w.T  # (rows, out)
+                o_norm = jnp.linalg.norm(o)
+                v = o
+                for j, u_rows in enumerate(class_rows):
+                    u = u_rows @ w.T
+                    u = u / jnp.linalg.norm(u)
+                    v = v + (float(weights[cnt][j]) * o_norm) * u
+                mat1[n] = mat1[n] + erase_scale * v.T @ c
+        for text in ret_texts:
+            rows = encode_prompts(edited, [text])[0].astype(jnp.float32)
+            mat2 = mat2 + preserve_scale * rows.T @ rows
+            for n, w in cur.items():
+                v = rows @ w.T
+                mat1[n] = mat1[n] + preserve_scale * v.T @ rows
+
+        @jax.jit
+        def solve_all(mat2, mat1_stack):
+            L = jax.scipy.linalg.cholesky(mat2, lower=True)
+            return jax.vmap(
+                lambda b: jax.scipy.linalg.cho_solve((L, True), b)
+            )(jnp.swapaxes(mat1_stack, -1, -2))
+
+        new_params = params
+        by_dim: Dict[int, List[str]] = {}
+        for n in proj_names:
+            by_dim.setdefault(cur[n].shape[0], []).append(n)
+        for dim, names in by_dim.items():
+            solved = solve_all(mat2, jnp.stack([mat1[n] for n in names]))
+            for i, n in enumerate(names):
+                new_params = set_unet_weight(new_params, n, solved[i].T)
+        edited = edited.replace_unet_params(new_params)
+    return edited, weights, init_ratios, ratios
