@@ -124,7 +124,7 @@ def cmd_refact(args, dataset):
     emcid_test(
         comps, requests, hparams, args.hparam, dataset,
         mom2_weight=args.mom2_weight, edit_weight=args.edit_weight,
-        seed_num=args.seed_num, oracle=args.oracle,
+        seed_num=args.seed_num, oracle=args.oracle, method=args.method,
         results_dir=args.results_dir or "results", gen_kwargs=gen_kwargs,
         apply_kwargs=dict(
             stats_dir=args.stats_dir,
@@ -354,6 +354,8 @@ def main(argv=None):
         p.add_argument("--seed_num", type=int, default=1)
         p.add_argument("--num_requests", type=int, default=None)
         p.add_argument("--oracle", action="store_true")
+        p.add_argument("--method", default="emcid",
+                       choices=["emcid", "contrast"])
 
     p = sub.add_parser("artists")
     _add_common(p)

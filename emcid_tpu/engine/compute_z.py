@@ -148,6 +148,9 @@ class ZOptimizer:
     hparams: Any
     layer: int
     fim: Optional[np.ndarray] = None  # EWC Fisher diag (hidden,)
+    # (hidden, embed) CLIP text projection — required for txt_img_align
+    # (reference v1 uses CLIPTextModelWithProjection, compute_z.py:1376-1380)
+    text_projection: Optional[np.ndarray] = None
     compute_dtype: Any = jnp.float32
 
     # device programs are capped at this many optimization steps: one long
@@ -203,8 +206,16 @@ class ZOptimizer:
                   step_offset: jnp.ndarray,
                   carry_in=None,
                   noise_override: Optional[jnp.ndarray] = None,
-                  ts_override: Optional[jnp.ndarray] = None):
+                  ts_override: Optional[jnp.ndarray] = None,
+                  dest_img_emb: Optional[jnp.ndarray] = None,
+                  tia_weight: Optional[jnp.ndarray] = None):
         hp = self.hparams
+        if dest_img_emb is not None:
+            if self.text_projection is None:
+                raise ValueError(
+                    "txt_img_align requires a text_projection matrix "
+                    "(hidden, embed) on the ZOptimizer")
+            text_proj = jnp.asarray(self.text_projection, jnp.float32)
         C, P, S = batch.source_ids.shape
         T = batch.inject_mask.shape[1]
         H = self.text_model.config.hidden_size
@@ -244,9 +255,18 @@ class ZOptimizer:
         opt = optax.adam(hp.v_lr)
 
         def concept_loss(delta, data, key):
-            """Loss for one concept (vmapped).  delta (T, H)."""
-            (src_ids, inj_mask, d_hidden, d_pooled, s_hidden, lat_mean,
-             lat_logvar, z0n, src_look, dst_look) = data[:10]
+            """Loss for one concept (vmapped).  delta (T, H); data is a dict
+            of per-concept slices (vmap maps over the leading axis of each)."""
+            src_ids = data["src_ids"]
+            inj_mask = data["inj_mask"]
+            d_hidden = data["d_hidden"]
+            d_pooled = data["d_pooled"]
+            s_hidden = data["s_hidden"]
+            lat_mean = data["lat_mean"]
+            lat_logvar = data["lat_logvar"]
+            z0n = data["z0n"]
+            src_look = data["src_look"]
+            dst_look = data["dst_look"]
             k_img, k_post, k_noise, k_t = jax.random.split(key, 4)
             # sample image index per prompt (reference compute_z.py:493-496)
             Simg = lat_mean.shape[0]
@@ -261,7 +281,7 @@ class ZOptimizer:
                 timesteps = jax.random.randint(k_t, (P,), 0, n_train_ts)
             else:
                 # record/replay path: externally supplied slices
-                noise, timesteps = data[10], data[11]
+                noise, timesteps = data["noise"], data["timesteps"]
             noisy = add_noise(self.schedule, latents, noise, timesteps)
 
             edited_hidden, edited_pooled, _ = self._edited_fwd(
@@ -324,6 +344,29 @@ class ZOptimizer:
                     talign = jnp.mean((edited_pooled - d_pooled) ** 2)
                 loss = loss + hp.text_repr_loss_scale_factor * talign
                 aux["talign"] = talign
+            if "dest_img_emb" in data:
+                # image-side alignment (reference compute_z v1 path,
+                # compute_z.py:1454-1610): CLIP-project the edited pooler
+                # and pull it toward the dest images' CLIP embedding;
+                # per-concept 0/1 weight honors the request-level flag
+                emb = data["dest_img_emb"]  # (P, E)
+                e_txt = edited_pooled.astype(jnp.float32) @ text_proj
+                if hp.txt_img_align_loss_metric == "cos":
+                    cos = jnp.sum(
+                        e_txt / jnp.linalg.norm(e_txt, axis=-1,
+                                                keepdims=True)
+                        * emb / jnp.linalg.norm(emb, axis=-1, keepdims=True),
+                        axis=-1)
+                    tia = -(jnp.mean(cos) - 1.0)
+                elif hp.txt_img_align_loss_metric == "l2":
+                    tia = jnp.mean((e_txt - emb) ** 2)
+                else:
+                    raise ValueError(
+                        f"txt_img_align_loss_metric "
+                        f"{hp.txt_img_align_loss_metric!r} not supported")
+                loss = loss + (hp.txt_img_align_scale_factor
+                               * data["tia_weight"] * tia)
+                aux["tia"] = tia
             aux["mse"] = mse
             aux["reg"] = reg
             return loss, aux
@@ -335,18 +378,22 @@ class ZOptimizer:
             delta, opt_state, key = carry
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, C)
+            data = dict(
+                src_ids=flatbatch_src, inj_mask=batch.inject_mask,
+                d_hidden=dest_hidden, d_pooled=dest_pooled,
+                s_hidden=source_hidden, lat_mean=batch.latents_mean,
+                lat_logvar=batch.latents_logvar, z0n=z0_norm,
+                src_look=batch.source_lookup, dst_look=batch.dest_lookup,
+            )
             if noise_override is not None:
-                data = (
-                    flatbatch_src, batch.inject_mask, dest_hidden, dest_pooled,
-                    source_hidden, batch.latents_mean, batch.latents_logvar,
-                    z0_norm, batch.source_lookup, batch.dest_lookup,
-                    noise_override[step_idx], ts_override[step_idx],
-                )
-            else:
-                data = (
-                    flatbatch_src, batch.inject_mask, dest_hidden, dest_pooled,
-                    source_hidden, batch.latents_mean, batch.latents_logvar,
-                    z0_norm, batch.source_lookup, batch.dest_lookup,
+                data["noise"] = noise_override[step_idx]
+                data["timesteps"] = ts_override[step_idx]
+            if dest_img_emb is not None:
+                data["dest_img_emb"] = jnp.asarray(dest_img_emb,
+                                                   jnp.float32)
+                data["tia_weight"] = (
+                    jnp.asarray(tia_weight, jnp.float32)
+                    if tia_weight is not None else jnp.ones((C,), jnp.float32)
                 )
             (loss, aux), grads = per_concept(delta, data, keys)
             updates, opt_state = opt.update(grads, opt_state, delta)
@@ -373,13 +420,17 @@ class ZOptimizer:
 
     def run(self, text_params, unet_params, batch: ConceptBatch,
             rng: Optional[jax.Array] = None,
-            noise_override=None, ts_override=None):
+            noise_override=None, ts_override=None,
+            dest_img_emb=None, tia_weight=None):
         """Optimize a concept block → (zs (C,T,H), delta, z0, loss curve).
 
         Host-chunked: the device executes at most ``chunk_steps`` steps per
         program (watchdog-safe); the (delta, opt_state) carry and a freshly
         split rng thread across chunks, so the trajectory is identical to a
-        single fused scan."""
+        single fused scan.
+
+        ``dest_img_emb`` (C, P, E) + per-concept ``tia_weight`` (C,) enable
+        the image-side txt-img alignment term (reference v1 path)."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
         total = self.hparams.v_num_grad_steps
@@ -396,6 +447,7 @@ class ZOptimizer:
                 steps=n, step_offset=jnp.asarray(done),
                 carry_in=carry,
                 noise_override=noise_override, ts_override=ts_override,
+                dest_img_emb=dest_img_emb, tia_weight=tia_weight,
             )
             losses_all.append(losses)
             carry = (delta, opt_state)

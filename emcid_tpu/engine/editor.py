@@ -102,6 +102,7 @@ def compute_zs_for_requests(
     num_inference_steps: int = 50,
     fim: Optional[np.ndarray] = None,
     mesh=None,
+    clip_align=None,
     verbose: bool = True,
 ) -> np.ndarray:
     """All concepts' z vectors (R, T, H): cache hits + blocked Stage-1 runs.
@@ -133,6 +134,18 @@ def compute_zs_for_requests(
             if cache_name is not None:
                 save_z_cache(cache_name, requests[i], z, hparams, idx=i)
         missing = []
+    # image-side txt-img alignment (reference v1 routing: active when the
+    # hparams scale is nonzero AND a request carries the flag)
+    tia_scale = getattr(hparams, "txt_img_align_scale_factor", 0.0)
+    tia_flags = [bool(r.get("txt_img_align")) for r in requests]
+    tia_active = bool(tia_scale) and any(tia_flags)
+    if tia_active and clip_align is None:
+        raise ValueError(
+            "txt_img_align requested (hparams.txt_img_align_scale_factor="
+            f"{tia_scale}, flagged requests present) but no clip_align="
+            "(vision_model, vision_params, text_projection) was supplied — "
+            "refusing to silently optimize the wrong objective"
+        )
     if missing:
         if mesh is not None:
             from emcid_tpu.parallel import pad_to_multiple, replicate
@@ -146,6 +159,8 @@ def compute_zs_for_requests(
         optz = ZOptimizer(
             components.text_encoder, components.unet, components.schedule,
             hparams, layer=hparams.layers[-1], fim=fim,
+            text_projection=(np.asarray(clip_align[2])
+                             if tia_active else None),
         )
         res = components.unet.config.sample_size * components.vae_scale
         for start in range(0, len(missing), block_size):
@@ -158,11 +173,40 @@ def compute_zs_for_requests(
             if pad:
                 block = block + [block[-1]] * pad
             t0 = time.time()
-            mean, logvar = training_latents_for_requests(
-                components, block, hparams, height=res, width=res,
-                num_inference_steps=num_inference_steps, mesh=mesh,
-                verbose=verbose,
-            )
+            dest_img_emb = tia_w = None
+            if tia_active:
+                # v1 path: train ablate-dest on DEST-prompt images and CLIP-
+                # embed them as the image-side alignment target
+                mean, logvar, imgs = training_latents_for_requests(
+                    components, block, hparams, height=res, width=res,
+                    num_inference_steps=num_inference_steps, mesh=mesh,
+                    use_dest_prompts=True, return_images=True,
+                    verbose=verbose,
+                )
+                from emcid_tpu.models.vision import (
+                    CLIP_IMAGE_MEAN, CLIP_IMAGE_STD, preprocess_for_model,
+                )
+
+                vision, vision_params, _ = clip_align
+                px = preprocess_for_model(
+                    (np.asarray(imgs) + 1.0) / 2.0,
+                    vision.config.image_size, CLIP_IMAGE_MEAN,
+                    CLIP_IMAGE_STD)
+                emb = vision.apply({"params": vision_params}, px)
+                C_blk = len(block)
+                P = len(block[0]["prompts"])
+                dest_img_emb = np.asarray(emb, np.float32).reshape(
+                    C_blk, -1, P, emb.shape[-1])[:, 0]  # first sample/prompt
+                tia_w = np.asarray(
+                    [1.0 if requests[i].get("txt_img_align") else 0.0
+                     for i in idxs]
+                    + [0.0] * pad, np.float32)
+            else:
+                mean, logvar = training_latents_for_requests(
+                    components, block, hparams, height=res, width=res,
+                    num_inference_steps=num_inference_steps, mesh=mesh,
+                    verbose=verbose,
+                )
             arrays, _, _ = prepare_concept_batch(
                 components.tokenizer, block, hparams
             )
@@ -180,6 +224,7 @@ def compute_zs_for_requests(
             zs, delta, z0, losses = optz.run(
                 text_params, unet_params, batch,
                 jax.random.PRNGKey(rng_seed + start),
+                dest_img_emb=dest_img_emb, tia_weight=tia_w,
             )
             zs = np.asarray(zs)
             if pad:
@@ -213,6 +258,7 @@ def apply_emcid(
     solve_method: str = "f32_ir",
     num_inference_steps: int = 50,
     mesh=None,
+    clip_align=None,
     verbose: bool = True,
 ) -> Tuple[SDComponents, Dict]:
     """Full two-stage edit of a pipeline's text encoder.
@@ -229,7 +275,7 @@ def apply_emcid(
     zs = compute_zs_for_requests(
         components, requests, hparams, cache_name=cache_name,
         block_size=block_size, num_inference_steps=num_inference_steps,
-        mesh=mesh, verbose=verbose,
+        mesh=mesh, clip_align=clip_align, verbose=verbose,
     )
     deltas, new_text_params = execute_emcid_text_encoder(
         components.text_encoder, components.text_params,

@@ -249,7 +249,7 @@ def execute_emcid_text_encoder(
 
     if batch is None:
         batch = prepare_request_batch(
-            tokenizer, requests, num_fact_tokens=hparams.num_edit_tokens
+            tokenizer, requests, num_fact_tokens=getattr(hparams, "num_edit_tokens", 1)
         )
     zs = jnp.asarray(zs)
     if zs.ndim == 3:

@@ -162,7 +162,7 @@ def compute_ks_text_encoder(model, params, tokenizer, requests, hparams,
     """Stage-2 keys (reference compute_ks.py:21-41): fc2 *inputs* at the fact
     token(s), (R, T, in_dim)."""
     batch = prepare_request_batch(
-        tokenizer, requests, num_fact_tokens=hparams.num_edit_tokens
+        tokenizer, requests, num_fact_tokens=getattr(hparams, "num_edit_tokens", 1)
     )
     keys, _ = module_io_at_words(model, params, batch, layer)
     return keys

@@ -63,13 +63,21 @@ def training_latents_for_requests(
     guidance_scale: float = 7.5,
     batch_size: Optional[int] = None,
     mesh=None,
+    use_dest_prompts: bool = False,
+    return_images: bool = False,
     verbose: bool = False,
-) -> Tuple[np.ndarray, np.ndarray]:
+):
     """(C, Simg, P, h, w, c) scaled posterior mean/logvar for all requests.
 
     Per request: use ``images`` / ``training_img_paths`` when provided (the
     torch-free real-image mode), else generate ``samples_per_prompt`` images
     per source prompt with the frozen pipeline, seeded by ``seed_train``.
+
+    ``use_dest_prompts`` generates from the dest-formatted prompts instead —
+    the reference's v1/txt_img_align path trains ablate-dest on DEST images
+    (compute_z.py:1440-1446) while the main path uses source images (:397-409).
+    ``return_images`` additionally returns the [-1, 1] images
+    (C*Simg*P, H, W, 3) for CLIP scoring.
     """
     Simg = getattr(hparams, "samples_per_prompt", 1)
     P = len(requests[0]["prompts"])
@@ -80,7 +88,8 @@ def training_latents_for_requests(
     loaded: Dict[Tuple[int, int, int], np.ndarray] = {}
 
     for c, request in enumerate(requests):
-        src_prompts = [p.format(request["source"]) for p in request["prompts"]]
+        word = request["dest"] if use_dest_prompts else request["source"]
+        src_prompts = [p.format(word) for p in request["prompts"]]
         imgs = None
         if "training_img_paths" in request:
             import os
@@ -134,7 +143,10 @@ def training_latents_for_requests(
     )
     mean, logvar = encode_posterior(components, all_imgs)
     h, w, ch = mean.shape[1:]
-    return (
+    out = (
         mean.reshape(C, Simg, P, h, w, ch),
         logvar.reshape(C, Simg, P, h, w, ch),
     )
+    if return_images:
+        return out + (all_imgs,)
+    return out

@@ -106,10 +106,16 @@ def emcid_test(
     gen_kwargs: Optional[dict] = None,
     apply_kwargs: Optional[dict] = None,
     cache_name: Optional[str] = None,
+    method: str = "emcid",
     verbose: bool = True,
 ):
     """Per-request edit → generate → restore loop
-    (reference refact_benchmark_eval.py:36-168)."""
+    (reference refact_benchmark_eval.py:36-168).
+
+    ``method="contrast"`` routes through the CLIP joint edit loop
+    (execute_emcid_clip: contrastive compute_z_refact targets + the same
+    fused insert — reference emcid_main.py:109-311) instead of the
+    diffusion-supervised Stage-1."""
     from emcid_tpu.engine.editor import apply_emcid
 
     mom2_weight = mom2_weight if mom2_weight is not None else hparams.mom2_update_weight
@@ -119,6 +125,18 @@ def emcid_test(
             row = request["row"]
             if oracle:
                 pipe = components  # generate from gt prompts, no edit
+            elif method == "contrast":
+                from emcid_tpu.engine.clip_edit import execute_emcid_clip
+
+                _, new_tp = execute_emcid_clip(
+                    components.text_encoder, components.text_params,
+                    components.tokenizer, [request], hparams,
+                    cache_name=cache_name, mom2_weight=mom2_weight,
+                    edit_weight=edit_weight,
+                    stats_dir=(apply_kwargs or {}).get("stats_dir"),
+                    verbose=verbose,
+                )
+                pipe = components.replace_text_params(new_tp)
             else:
                 pipe, _ = apply_emcid(
                     components, [request], hparams,

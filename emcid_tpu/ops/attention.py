@@ -173,5 +173,12 @@ def attention(q, k, v, scale: Optional[float] = None) -> jnp.ndarray:
         p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
         return jnp.einsum("bhqk,bkhd->bqhd", p, v)
     if jax.default_backend() in ("tpu", "axon"):
+        # v2 (online softmax + pallas backward) wins on long-K self-attn
+        # (level-0 bwd 1.5x); short-K cross-attn (M=77) is overhead-bound in
+        # v2's small masked block — the single-pass v1 kernel is faster there
+        if M >= 256 and os.environ.get("EMCID_TPU_ATTN", "v2") == "v2":
+            from emcid_tpu.ops.flash_v2 import flash_attention_v2
+
+            return flash_attention_v2(q, k, v, scale)
         return flash_attention(q, k, v, scale)
     return mha_chunked(q, k, v, scale)

@@ -119,3 +119,76 @@ def test_unet_still_correct_after_kernel_swap(rng):
     finally:
         del os.environ["EMCID_TPU_NO_FLASH"]
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# flash v2 (online softmax, transposed layouts, pallas backward)
+# ---------------------------------------------------------------------------
+
+from emcid_tpu.ops.flash_v2 import flash_attention_v2
+
+
+def _ein(q, k, v, scale):
+    s = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 512, 2, 40),    # SD level-0 head dim
+    (1, 256, 2, 80),
+    (2, 300, 1, 40),    # N not a block multiple
+])
+def test_flash_v2_forward(shape, rng):
+    B, N, H, D = shape
+    q = jnp.asarray(rng.randn(B, N, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, N, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, N, H, D), jnp.float32)
+    out = flash_attention_v2(q, k, v, D**-0.5, True)
+    ref = _ein(q, k, v, D**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_flash_v2_cross_attention(rng):
+    """M=77 context tokens (padded+masked K block)."""
+    B, N, M, H, D = 1, 512, 77, 2, 40
+    q = jnp.asarray(rng.randn(B, N, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, M, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, M, H, D), jnp.float32)
+    out = flash_attention_v2(q, k, v, D**-0.5, True)
+    ref = _ein(q, k, v, D**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_flash_v2_grads(rng):
+    B, N, H, D = 1, 384, 2, 40
+    q = jnp.asarray(rng.randn(B, N, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, N, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, N, H, D), jnp.float32)
+    w = jnp.asarray(rng.randn(B, N, H, D), jnp.float32)
+
+    f2 = lambda q, k, v: jnp.sum(flash_attention_v2(q, k, v, D**-0.5, True) * w)
+    fr = lambda q, k, v: jnp.sum(_ein(q, k, v, D**-0.5) * w)
+    g2 = jax.grad(f2, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g2, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5,
+                                   err_msg=f"d{name}")
+
+
+def test_flash_v2_grads_cross(rng):
+    B, N, M, H, D = 1, 256, 77, 2, 40
+    q = jnp.asarray(rng.randn(B, N, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, M, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, M, H, D), jnp.float32)
+    f2 = lambda q, k, v: jnp.sum(flash_attention_v2(q, k, v, D**-0.5, True) ** 2)
+    fr = lambda q, k, v: jnp.sum(_ein(q, k, v, D**-0.5) ** 2)
+    g2 = jax.grad(f2, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g2, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5,
+                                   err_msg=f"d{name}")

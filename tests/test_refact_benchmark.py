@@ -135,3 +135,68 @@ def test_eval_all_missing_images_raises(world):
     with pytest.raises(FileNotFoundError):
         eval_all(scorer, ds.requests, "timed", "no-such-hp", mom2_weight=1,
                  num_seeds=1, results_dir=str(base / "nores"))
+
+
+def test_clip_joint_edit_loop(tmp_path):
+    """apply/execute_emcid_clip (reference emcid_main.py:109-311): the
+    contrastive CLIP edit changes only the target fc2 layers, caches z, and
+    leaves the caller's params untouched."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from emcid_tpu.engine.clip_edit import apply_emcid_to_clip
+    from emcid_tpu.hparams import ContrastEMCIDHyperParams
+    from emcid_tpu.models.loader import build_tiny_pipeline
+    from emcid_tpu.models import CLIPTextEncoder
+    from emcid_tpu.models.naming import get_weight
+
+    comps = build_tiny_pipeline(words=["cat", "dog"])
+    # CLIP tower with projection (the joint-edit target in the reference)
+    cfg = dataclasses.replace(comps.text_encoder.config, projection_dim=16)
+    text = CLIPTextEncoder(cfg)
+    tp = text.init_params(jax.random.PRNGKey(7), seq_len=32)
+    hp = ContrastEMCIDHyperParams.from_dict(dict(
+        layers=[1, 2], clamp_norm_factor=1.5,
+        fact_token="subject_last", v_num_grad_steps=3, v_lr=0.1,
+        v_weight_decay=5e-4, mom2_adjustment=True, mom2_update_weight=100,
+        rewrite_module_tmp="text_model.encoder.layers.{}.mlp.fc2",
+        layer_module_tmp="text_model.encoder.layers.{}",
+        mlp_module_tmp="text_model.encoder.layers.{}.mlp",
+        attn_module_tmp="text_model.encoder.layers.{}.self_attn",
+        ln_f_module="text_model.final_layer_norm",
+        lm_head_module="text_projection",
+        mom2_dataset="ccs_filtered", mom2_n_samples=64,
+        mom2_dtype="float32", v_loss_layer=3, kl_factor=0.0625,
+        use_negative_images=False, num_negative_images=0,
+        objective="contrastive"))
+    reqs = [{"prompts": ["a photo of {}"], "source": "cat", "dest": "dog",
+             "negative_prompts": ["a bird"], "seed_train": 0}]
+    cache = str(tmp_path / "z_")
+    new_tp, deltas = apply_emcid_to_clip(
+        text, tp, comps.tokenizer, reqs, hp,
+        stats_dir=tmp_path, cache_name=cache, verbose=False)
+    edited_names = set(deltas)
+    assert edited_names == {
+        "text_model.encoder.layers.1.mlp.fc2.weight",
+        "text_model.encoder.layers.2.mlp.fc2.weight"}
+    for layer in (1, 2):
+        name = f"text_model.encoder.layers.{layer}.mlp.fc2"
+        assert not np.allclose(np.asarray(get_weight(new_tp, name)),
+                               np.asarray(get_weight(tp, name)))
+    # untouched layer + caller params intact
+    name0 = "text_model.encoder.layers.0.mlp.fc2"
+    np.testing.assert_array_equal(np.asarray(get_weight(new_tp, name0)),
+                                  np.asarray(get_weight(tp, name0)))
+    # z cache written and reused (second run loads, identical result)
+    import glob
+    assert glob.glob(str(tmp_path / "z_*.npz"))
+    new_tp2, _ = apply_emcid_to_clip(
+        text, tp, comps.tokenizer, reqs, hp,
+        stats_dir=tmp_path, cache_name=cache, verbose=False)
+    for layer in (1, 2):
+        name = f"text_model.encoder.layers.{layer}.mlp.fc2"
+        np.testing.assert_allclose(np.asarray(get_weight(new_tp2, name)),
+                                   np.asarray(get_weight(new_tp, name)),
+                                   rtol=1e-5, atol=1e-6)
