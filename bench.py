@@ -1,18 +1,21 @@
 """Benchmark: end-to-end EMCID concept-edit throughput on real hardware.
 
-Measures the full two-stage edit — Stage-1 vmapped z-optimization
-(v_num_grad_steps Adam steps, 2 UNet forwards per prompt per step at SD
-shapes) + Stage-2 fused multi-layer closed-form insert — for a block of
-concepts on the SD-v1.4-shaped models (CLIP-L text encoder, 860M UNet,
-bf16), with training images provided (the reference's
-``training_img_paths`` real-image mode, compute_z.py:384-391), so the number
-excludes training-image generation (reported separately once the eval
-harness benches land).
+Measures the FULL edit path for a block of concepts at SD-v1.4 shapes
+(CLIP-L text encoder, 860M UNet, SD VAE, bf16):
+
+  1. **training-image generation** — hot loop #1 (SURVEY.md §3; reference
+     compute_z.py:384-418): 3 prompts/concept, 50-step PNDM with CFG (two
+     UNet forwards per step), VAE decode + posterior re-encode;
+  2. **Stage-1 z optimization** — v_num_grad_steps vmapped Adam steps
+     (eps_edit + eps_dest UNet forwards and the input-grad backward per
+     step; flash-v2 attention, remat="none");
+  3. **Stage-2 fused closed-form insert** across 4 layers.
 
 Baseline: the driver north star — 1,000 concepts in 600 s on a v5e-8
-(BASELINE.json).  We report single-chip throughput; ``vs_baseline`` is the
-projected 8-chip speedup over that target assuming linear data-parallel
-scaling of the concept axis (which dryrun_multichip validates structurally):
+(BASELINE.json).  We report single-chip throughput; ``vs_baseline``
+projects 8-chip linear data-parallel scaling of the concept axis, which
+``__graft_entry__.dryrun_multichip`` + the sharded==unsharded mesh tests
+validate:
 
     vs_baseline = (concepts_per_sec * 8) / (1000 / 600)
 
@@ -37,15 +40,21 @@ def main():
         ConceptBatch, ZOptimizer, prepare_concept_batch,
     )
     from emcid_tpu.engine.emcid import execute_emcid_text_encoder
+    from emcid_tpu.engine.training_images import encode_posterior
     from emcid_tpu.hparams import EMCIDHyperParams
     from emcid_tpu.models import CLIPTextEncoder, SD_V14_TEXT
-    from emcid_tpu.models.configs import sd_v14_unet
+    from emcid_tpu.models.configs import sd_v14_unet, sd_vae
+    from emcid_tpu.models.pipeline import SDComponents, generate
     from emcid_tpu.models.scheduler import sd_schedule
     from emcid_tpu.models.unet import UNet2DCondition
+    from emcid_tpu.models.vae import AutoencoderKL
+    from emcid_tpu.profiling import StepReport, stage1_step_flops, \
+        unet_fwd_flops
     from emcid_tpu.text import make_tiny_tokenizer
 
     n_concepts = int(os.environ.get("BENCH_CONCEPTS", 8))
     grad_steps = int(os.environ.get("BENCH_GRAD_STEPS", 100))
+    gen_steps = int(os.environ.get("BENCH_GEN_STEPS", 50))
     n_prompts = 3
     latent_hw = 64  # 512x512 images
 
@@ -57,7 +66,14 @@ def main():
     tp = text.init_params(jax.random.PRNGKey(0))
     unet = UNet2DCondition(sd_v14_unet(), dtype=jnp.bfloat16)
     up = unet.init_params(jax.random.PRNGKey(1))
+    vae = AutoencoderKL(sd_vae(), dtype=jnp.bfloat16)
+    vp = vae.init_params(jax.random.PRNGKey(2), image_size=512)
     sched = sd_schedule()
+    comps = SDComponents(
+        tokenizer=tok, text_encoder=text, text_params=tp,
+        unet=unet, unet_params=up, vae=vae, vae_params=vp,
+        schedule=sched,
+    )
 
     hp = EMCIDHyperParams.from_dict({
         "layers": [7, 8, 9, 10], "clamp_norm_factor": 1.5,
@@ -82,56 +98,76 @@ def main():
         for i in range(n_concepts)
     ]
     rng = np.random.RandomState(0)
-    # pre-encoded training-image latents (real-image mode)
-    mean = rng.randn(n_concepts, 1, n_prompts, latent_hw, latent_hw, 4).astype(
-        np.float32) * 0.18
-    logvar = np.full(mean.shape, -6.0, np.float32)
     covs = []
     for _ in hp.layers:
         A = rng.randn(4096, 3072).astype(np.float32)
         covs.append((A.T @ A / 4096).astype(np.float32))
 
-    arrays, _, _ = prepare_concept_batch(tok, requests, hp)
-    batch = ConceptBatch(
-        source_ids=jnp.asarray(arrays["source_ids"]),
-        dest_ids=jnp.asarray(arrays["dest_ids"]),
-        inject_mask=jnp.asarray(arrays["inject_mask"]),
-        source_lookup=jnp.asarray(arrays["source_lookup"]),
-        dest_lookup=jnp.asarray(arrays["dest_lookup"]),
-        latents_mean=jnp.asarray(mean),
-        latents_logvar=jnp.asarray(logvar),
-    )
+    prompts = [p.format(r["source"]) for r in requests for p in r["prompts"]]
+    seeds = list(range(len(prompts)))
+
+    def gen_phase():
+        imgs = generate(comps, prompts, seeds, batch_size=len(prompts),
+                        num_inference_steps=gen_steps, guidance_scale=7.5,
+                        height=512, width=512, sampler="pndm")
+        mean, logvar = encode_posterior(
+            comps, imgs.astype(np.float32) / 255.0 * 2.0 - 1.0)
+        return (np.asarray(mean).reshape(
+                    n_concepts, 1, n_prompts, latent_hw, latent_hw, 4),
+                np.asarray(logvar).reshape(
+                    n_concepts, 1, n_prompts, latent_hw, latent_hw, 4))
+
     optz = ZOptimizer(text, unet, sched, hp, layer=hp.layers[-1])
 
+    def stage1_phase(mean, logvar):
+        arrays, _, _ = prepare_concept_batch(tok, requests, hp)
+        batch = ConceptBatch(
+            source_ids=jnp.asarray(arrays["source_ids"]),
+            dest_ids=jnp.asarray(arrays["dest_ids"]),
+            inject_mask=jnp.asarray(arrays["inject_mask"]),
+            source_lookup=jnp.asarray(arrays["source_lookup"]),
+            dest_lookup=jnp.asarray(arrays["dest_lookup"]),
+            latents_mean=jnp.asarray(mean),
+            latents_logvar=jnp.asarray(logvar),
+        )
+        zs, delta, z0, losses = optz.run(tp, up, batch, jax.random.PRNGKey(1))
+        return np.asarray(zs)
+
     # warm-up/compile (persistent-cached across runs)
-    warm_hp_steps = hp.v_num_grad_steps
-    zs, delta, z0, losses = optz.run(tp, up, batch, jax.random.PRNGKey(0))
-    zs = np.asarray(zs)
+    mean, logvar = gen_phase()
+    zs = stage1_phase(mean, logvar)
     _ = execute_emcid_text_encoder(
         text, tp, tok, requests, hp, zs=zs, covs=covs, verbose=False)
 
     # timed run (host materialization — block_until_ready does not reliably
     # synchronize on the tunneled TPU backend)
     t0 = time.time()
-    zs, delta, z0, losses = optz.run(tp, up, batch, jax.random.PRNGKey(1))
-    zs = np.asarray(zs)
+    mean, logvar = gen_phase()
+    t_gen = time.time() - t0
+    t0 = time.time()
+    zs = stage1_phase(mean, logvar)
     t_stage1 = time.time() - t0
     t0 = time.time()
     deltas, new_params = execute_emcid_text_encoder(
         text, tp, tok, requests, hp, zs=zs, covs=covs, verbose=False)
-    jax.block_until_ready(jax.tree.leaves(new_params)[0])
+    _ = np.asarray(jax.tree.leaves(new_params)[0])
     t_stage2 = time.time() - t0
 
-    total = t_stage1 + t_stage2
+    total = t_gen + t_stage1 + t_stage2
     rate = n_concepts / total  # concepts/s on this chip
     target_rate = 1000.0 / 600.0  # north star: 1000 concepts / 10 min / 8 chips
     vs_baseline = (rate * 8) / target_rate
 
+    s1 = StepReport(t_stage1, grad_steps,
+                    stage1_step_flops(unet.config, n_concepts, n_prompts,
+                                      remat=optz.remat))
+    gen_flops = (unet_fwd_flops(unet.config, 2 * len(prompts)) * gen_steps)
     print(json.dumps({
         "metric": (
-            f"EMCID two-stage edit throughput, SD-v1.4 shapes, "
+            f"EMCID full edit-path throughput, SD-v1.4 shapes, "
             f"{n_concepts} concepts x {grad_steps} z-steps, 1 chip "
-            f"(stage1 {t_stage1:.1f}s + stage2 {t_stage2:.1f}s)"
+            f"(imagegen {t_gen:.1f}s @ {gen_flops / t_gen / 1e12:.0f} TFLOP/s"
+            f" + stage1 {t_stage1:.1f}s @ {s1} + stage2 {t_stage2:.1f}s)"
         ),
         "value": round(rate, 4),
         "unit": "concepts/s",

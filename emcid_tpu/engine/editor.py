@@ -235,9 +235,21 @@ def compute_zs_for_requests(
                     save_z_cache(cache_name, requests[i], zs[k], hparams,
                                  idx=i)
             if verbose:
+                from emcid_tpu.profiling import StepReport, stage1_step_flops
+
+                rep = StepReport(
+                    seconds=time.time() - t0,
+                    steps=max(hparams.v_num_grad_steps, 1),
+                    flops_per_step=stage1_step_flops(
+                        components.unet.config, len(block),
+                        len(block[0]["prompts"]),
+                        latent_hw=components.unet.config.sample_size,
+                        remat=optz.remat),
+                )
                 print(
                     f"stage1 block {start // block_size}: {len(idxs)} concepts "
-                    f"in {time.time() - t0:.1f}s, final loss {float(losses[-1]):.5f}"
+                    f"in {rep.seconds:.1f}s ({rep}; incl. image gen), "
+                    f"final loss {float(losses[-1]):.5f}"
                 )
     stacked = np.stack([np.asarray(z) for z in z_list])
     if stacked.ndim == 2:

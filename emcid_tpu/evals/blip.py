@@ -1,12 +1,11 @@
-"""BLIP ITM scorer seam (reference util/evaluate.py:189-248 uses HF
+"""BLIP ITM scorers (reference util/evaluate.py:189-248 uses HF
 ``BlipForImageTextRetrieval``).
 
-BLIP is an eval-only scorer the reference downloads from the hub; porting
-the full architecture to Flax buys nothing on the edit path, so — per the
-staged scorer plan (SURVEY.md §7 "Eval-model zoo") — this wraps the torch
-CPU implementation behind the same pluggable interface as the native
-scorers.  Works offline with local checkpoints (or randomly initialized
-configs in tests); raises a clear error when torch/transformers are absent.
+Default: the NATIVE Flax model (models/blip.py, parity-tested against HF's
+torch implementation) — ``load_native_blip_scorer`` builds it from a local
+HF checkpoint directory (torch used only to read the weight file).  The
+torch-CPU ``BlipITMScorer`` remains as a fallback seam behind the same
+``itm_score(images, texts)`` interface.
 """
 
 from __future__ import annotations
@@ -98,3 +97,46 @@ class BlipITMScorer:
 
 def calculate_single_blip_score(scorer: BlipITMScorer, img, txt: str) -> float:
     return float(scorer.itm_score(img, [txt])[0])
+
+
+def load_native_blip_scorer(checkpoint_dir: str,
+                            prefix: str = "A photo depicts "):
+    """Native Flax BLIP ITM from a local HF checkpoint directory
+    (Salesforce/blip-itm-*-coco layout: config.json + weights + tokenizer).
+    Scoring runs on the accelerator; torch only reads the weight file."""
+    import json
+    from pathlib import Path
+
+    from transformers import AutoTokenizer, BlipForImageTextRetrieval
+
+    from emcid_tpu.models.blip import (
+        BlipITM, BlipTextConfig, BlipVisionConfig, NativeBlipScorer,
+        blip_from_torch,
+    )
+
+    ckpt = Path(checkpoint_dir)
+    cfg = json.loads((ckpt / "config.json").read_text())
+    tc, vc = cfg["text_config"], cfg["vision_config"]
+    text_config = BlipTextConfig(
+        vocab_size=tc.get("vocab_size", 30524),
+        hidden_size=tc.get("hidden_size", 768),
+        num_hidden_layers=tc.get("num_hidden_layers", 12),
+        num_attention_heads=tc.get("num_attention_heads", 12),
+        intermediate_size=tc.get("intermediate_size", 3072),
+        max_position_embeddings=tc.get("max_position_embeddings", 512),
+        encoder_hidden_size=tc.get("encoder_hidden_size", 768),
+    )
+    vision_config = BlipVisionConfig(
+        hidden_size=vc.get("hidden_size", 768),
+        num_hidden_layers=vc.get("num_hidden_layers", 12),
+        num_attention_heads=vc.get("num_attention_heads", 12),
+        intermediate_size=vc.get("intermediate_size", 3072),
+        image_size=vc.get("image_size", 384),
+        patch_size=vc.get("patch_size", 16),
+    )
+    hf = BlipForImageTextRetrieval.from_pretrained(str(ckpt))
+    params = blip_from_torch(hf.state_dict(), vision_config, text_config)
+    del hf
+    tokenizer = AutoTokenizer.from_pretrained(str(ckpt))
+    model = BlipITM(vision_config, text_config)
+    return NativeBlipScorer(model, params, tokenizer, prefix=prefix)
