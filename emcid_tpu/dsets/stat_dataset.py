@@ -108,3 +108,88 @@ def make_synthetic_captions(n: int, seed: int = 0,
         k = rng.randint(3, 12)
         out.append(" ".join(vocab[i] for i in rng.randint(0, len(vocab), k)))
     return out
+
+
+def download_sub(data_path="./data/ccs_filtered.json", random_seed=2023,
+                 sample_size=3000, cache_dir="./cache/stats_img",
+                 out_path="./data/ccs_filtered_sub.json",
+                 allow_network: bool = False, timeout: float = 2.0):
+    """Sampled (image, caption) subset of the BLIP CCS corpus with
+    download-and-resample on fetch failure (reference
+    dsets/stat_dataset.py:175-229).
+
+    Network access is OFF by default (this build typically runs with zero
+    egress — pass ``allow_network=True`` where the environment has it).
+    Without network, every sampled item must already exist in
+    ``cache_dir/{idx}.jpg`` or a RuntimeError names what is missing.
+    """
+    import json
+    import os
+    import random
+
+    from PIL import Image
+
+    if not os.path.exists(data_path):
+        if not allow_network:
+            raise RuntimeError(
+                f"{data_path} missing and allow_network=False — download "
+                "https://storage.googleapis.com/sfr-vision-language-research"
+                "/BLIP/datasets/ccs_filtered.json there first"
+            )
+        import urllib.request
+
+        print("Downloading caption corpus...")
+        urllib.request.urlretrieve(
+            "https://storage.googleapis.com/sfr-vision-language-research"
+            "/BLIP/datasets/ccs_filtered.json",
+            data_path,
+        )
+
+    with open(data_path) as f:
+        data = json.load(f)
+    rng = random.Random(random_seed)
+    indices = rng.sample(range(len(data)), sample_size)
+    sub_data, added = [], set()
+
+    def fetch(item, idx, depth=0):
+        save_path = os.path.join(cache_dir, f"{idx}.jpg")
+        if os.path.exists(save_path):
+            sub_data.append(dict(caption=item["caption"], path=save_path,
+                                 idx=idx))
+            added.add(idx)
+            return True
+        if not allow_network:
+            return False
+        if depth > 50:
+            return False
+        try:
+            import io
+
+            import requests
+
+            r = requests.get(item["url"], timeout=timeout)
+            img = Image.open(io.BytesIO(r.content)).convert("RGB")
+            os.makedirs(cache_dir, exist_ok=True)
+            img.save(save_path)
+            sub_data.append(dict(caption=item["caption"], path=save_path,
+                                 idx=idx))
+            added.add(idx)
+            return True
+        except Exception:
+            # refused/corrupt image -> resample a fresh index (reference
+            # behavior on ReadTimeout/ConnectionError/UnidentifiedImageError)
+            while True:
+                new_idx = rng.randint(0, len(data) - 1)
+                if new_idx not in indices and new_idx not in added:
+                    break
+            return fetch(data[new_idx], new_idx, depth + 1)
+
+    missing = [idx for idx in indices if not fetch(data[idx], idx)]
+    if missing:
+        raise RuntimeError(
+            f"{len(missing)} sampled images unavailable (first: "
+            f"{cache_dir}/{missing[0]}.jpg) and allow_network=False"
+        )
+    with open(out_path, "w") as f:
+        json.dump(sub_data, f, indent=4)
+    return sub_data

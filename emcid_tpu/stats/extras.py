@@ -186,3 +186,46 @@ class History(Stat):
 
     def load_state_dict(self, state):
         self._data = [np.asarray(state["data"])]
+
+
+class IoU(Stat):
+    """Running intersection-over-union of boolean feature columns
+    (reference runningstats.py:675-720): accumulates ``a^T a`` over 0/1
+    batches; iou = intersection / (union + eps)."""
+
+    def __init__(self, state=None):
+        self.count = 0
+        self._intersection = None
+        super().__init__(state)
+
+    def add(self, a):
+        a = np.asarray(a)
+        assert a.ndim == 2
+        a = a.astype(np.float32)
+        if self._intersection is None:
+            self._intersection = a.T @ a
+        else:
+            self._intersection += a.T @ a
+        self.count += len(a)
+
+    def size(self):
+        return self.count
+
+    def intersection(self):
+        return self._intersection
+
+    def union(self):
+        total = np.diagonal(self._intersection)
+        return total[:, None] + total[None, :] - self._intersection
+
+    def iou(self):
+        return self.intersection() / (self.union() + 1e-20)
+
+    def state_dict(self):
+        return dict(constructor=self._constructor_name(),
+                    count=self.count,
+                    intersection=np.asarray(self._intersection))
+
+    def load_state_dict(self, state):
+        self.count = int(state["count"])
+        self._intersection = np.asarray(state["intersection"])

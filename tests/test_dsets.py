@@ -271,3 +271,36 @@ def test_synthetic_captions_deterministic():
     a = make_synthetic_captions(10, seed=3)
     b = make_synthetic_captions(10, seed=3)
     assert a == b and len(set(a)) > 1
+
+
+def test_download_sub_offline(tmp_path):
+    """download_sub (reference stat_dataset.py:175-229): offline mode serves
+    cached images, errors clearly on missing ones, never touches network."""
+    import json
+
+    from PIL import Image
+
+    from emcid_tpu.dsets.stat_dataset import download_sub
+
+    corpus = [{"caption": f"cap {i}", "url": f"http://x/{i}.jpg"}
+              for i in range(30)]
+    data_path = tmp_path / "ccs_filtered.json"
+    data_path.write_text(json.dumps(corpus))
+    cache = tmp_path / "imgs"
+    cache.mkdir()
+    # pre-populate EVERY index (offline mode requires full cache)
+    for i in range(30):
+        Image.new("RGB", (4, 4)).save(cache / f"{i}.jpg")
+    out = tmp_path / "sub.json"
+    sub = download_sub(str(data_path), sample_size=5, cache_dir=str(cache),
+                       out_path=str(out))
+    assert len(sub) == 5 and out.exists()
+    assert all(r["caption"].startswith("cap ") for r in sub)
+    # missing cache -> loud error naming the gap
+    import shutil
+    shutil.rmtree(cache)
+    cache.mkdir()
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="unavailable"):
+        download_sub(str(data_path), sample_size=3, cache_dir=str(cache),
+                     out_path=str(out))

@@ -166,3 +166,22 @@ def test_reference_cache_interop(tmp_path, rng):
     assert list(loader) == []
     assert cs.mom2.count == 12345
     np.testing.assert_array_equal(np.asarray(cs.mom2.mom2), mom2)
+
+
+def test_iou_stat():
+    """IoU (reference runningstats.py:675-720): streaming == one-shot, and
+    the npz state roundtrips."""
+    from emcid_tpu.stats import IoU
+
+    rng = np.random.RandomState(0)
+    a = (rng.rand(40, 6) > 0.5).astype(np.float32)
+    s = IoU()
+    s.add(a[:25])
+    s.add(a[25:])
+    inter = a.T @ a
+    union = np.diagonal(inter)[:, None] + np.diagonal(inter)[None, :] - inter
+    np.testing.assert_allclose(s.intersection(), inter, rtol=1e-6)
+    np.testing.assert_allclose(s.iou(), inter / (union + 1e-20), rtol=1e-6)
+    assert s.size() == 40
+    s2 = IoU(state=s.state_dict())
+    np.testing.assert_allclose(s2.iou(), s.iou())
