@@ -370,6 +370,15 @@ def main(argv=None):
     p.add_argument("--clip_checkpoint", default=None)
     p.add_argument("--method", default="emcid", choices=["emcid", "uce"])
 
+    p = sub.add_parser("validate")
+    _add_common(p)
+    p.add_argument("--goldens", default=None,
+                   help="goldens npz from scripts/make_goldens_torch.py")
+    p.add_argument("--make_self_goldens", default=None,
+                   help="write a self-goldens npz instead of validating")
+    p.add_argument("--f32", action="store_true",
+                   help="load the checkpoint in float32 (tight tolerances)")
+
     p = sub.add_parser("coco")
     _add_common(p)
     p.add_argument("--sub", type=int, default=None)
@@ -412,6 +421,10 @@ def main(argv=None):
         cmd_artists(args)
     elif args.cmd == "debias":
         cmd_debias(args)
+    elif args.cmd == "validate":
+        from emcid_tpu.cli.validate import cmd_validate
+
+        cmd_validate(args)
     elif args.cmd == "coco":
         cmd_coco(args)
     elif args.cmd == "i2p":
