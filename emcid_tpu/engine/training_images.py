@@ -53,6 +53,64 @@ def encode_posterior(components: SDComponents, images: np.ndarray
     return np.asarray(mean), np.asarray(logvar)
 
 
+def generate_posteriors(
+    components: SDComponents,
+    prompts,
+    seeds,
+    batch_size: Optional[int] = None,
+    mesh=None,
+    **sample_kwargs,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Text → scaled VAE posterior (mean, logvar) of the generated images,
+    entirely on device: the decode → [0,1] clip → re-encode round-trip is
+    one fused program, skipping the host uint8 transfer (tens of MB through
+    the tunnel) and the quantization the reference's PIL round-trip implies
+    — the PNG write/read is an artifact of the reference's process layout,
+    not of the algorithm.  uint8 quantization of the intermediate image is
+    applied on device for bit-parity with the save-to-disk path."""
+    from emcid_tpu.models.pipeline import sample_latents
+
+    prompts, seeds = list(prompts), list(seeds)
+    n = len(prompts)
+    bs = batch_size or n
+    if mesh is not None:
+        from emcid_tpu.parallel import pad_to_multiple
+
+        bs = pad_to_multiple(bs, mesh.devices.size)
+    vae = components.vae
+    sf = components.scaling_factor
+
+    @jax.jit
+    def fused(vae_params, lat):
+        img = vae.apply({"params": vae_params}, lat / sf, method="decode")
+        img = jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+        # quantize like the disk round-trip (uint8) so cached-image and
+        # on-device runs are bit-identical
+        img = jnp.round(img * 255.0) / 255.0 * 2.0 - 1.0
+        dist = vae.apply({"params": vae_params}, img, method="encode")
+        return (dist.mean * sf, dist.logvar + 2.0 * jnp.log(sf))
+
+    vae_params = components.vae_params
+    if mesh is not None:
+        from emcid_tpu.parallel import replicate
+
+        vae_params = replicate(vae_params, mesh)
+    means, logvars = [], []
+    for i in range(0, n, bs):
+        chunk_p = prompts[i:i + bs]
+        chunk_s = seeds[i:i + bs]
+        keep = len(chunk_p)
+        if bs - keep:
+            chunk_p = chunk_p + [chunk_p[-1]] * (bs - keep)
+            chunk_s = chunk_s + [0] * (bs - keep)
+        lat = sample_latents(components, chunk_p, chunk_s, mesh=mesh,
+                             **sample_kwargs)
+        m, lv = fused(vae_params, lat)
+        means.append(np.asarray(m)[:keep])
+        logvars.append(np.asarray(lv)[:keep])
+    return np.concatenate(means), np.concatenate(logvars)
+
+
 def training_latents_for_requests(
     components: SDComponents,
     requests: Sequence[Dict],
@@ -122,6 +180,25 @@ def training_latents_for_requests(
                     gen_seeds.append(seed0 * 10007 + s * 101 + p)
                     gen_slots.append((c, s, p))
 
+    C = len(requests)
+    if gen_prompts and not loaded and not return_images:
+        # pure-generation block: fused on-device path — latents never leave
+        # the chip as uint8 images (saves the decode→host→encode round-trip)
+        if verbose:
+            print(f"generating {len(gen_prompts)} training images (fused)")
+        mean, logvar = generate_posteriors(
+            components, gen_prompts, gen_seeds, batch_size=batch_size,
+            mesh=mesh, num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, height=height, width=width,
+        )
+        h, w, ch = mean.shape[1:]
+        m = np.empty((C, Simg, P, h, w, ch), np.float32)
+        lv = np.empty_like(m)
+        for (c, s, p), mm, ll in zip(gen_slots, mean, logvar):
+            m[c, s, p] = mm
+            lv[c, s, p] = ll
+        return m, lv
+
     if gen_prompts:
         if verbose:
             print(f"generating {len(gen_prompts)} training images")
@@ -136,7 +213,6 @@ def training_latents_for_requests(
         for slot, im in zip(gen_slots, arr):
             loaded[slot] = im
 
-    C = len(requests)
     all_imgs = np.stack(
         [loaded[(c, s, p)] for c in range(C) for s in range(Simg)
          for p in range(P)]
