@@ -180,3 +180,91 @@ def cmd_validate(args):
         rtol=(1e-4 if args.f32 else None),
         atol=(1e-4 if args.f32 else None),
     )
+
+
+def validate_openclip(checkpoint, goldens, rtol=2e-3, atol=2e-3,
+                      verbose: bool = True) -> Dict[str, float]:
+    """Compare the open_clip converters against goldens from
+    scripts/make_goldens_openclip.py (a REAL open_clip checkpoint run
+    through the original torch implementation — ADVICE round-1 item).
+
+    Text heads default to hidden//64 (open_clip's convention for the CLIP
+    families, incl. bigG's 1280/64=20)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import torch
+
+    from emcid_tpu.models.clip_text import CLIPTextEncoder
+    from emcid_tpu.models.configs import CLIPTextConfig
+    from emcid_tpu.models.convert_openclip import (
+        openclip_text_from_torch, openclip_vision_from_torch,
+    )
+    from emcid_tpu.models.vision import CLIPVisionConfig, CLIPVisionEncoder
+
+    sd = torch.load(checkpoint, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = {k: v for k, v in sd.items()}
+    g = dict(np.load(goldens))
+    errs: Dict[str, float] = {}
+
+    # ---- text tower -------------------------------------------------------
+    H = sd["ln_final.weight"].shape[0]
+    vocab, _ = sd["token_embedding.weight"].shape
+    ctx = sd["positional_embedding"].shape[0]
+    inter = sd["transformer.resblocks.0.mlp.c_fc.weight"].shape[0]
+    L = 0
+    while f"transformer.resblocks.{L}.attn.in_proj_weight" in sd:
+        L += 1
+    proj = sd["text_projection"].shape[1] if "text_projection" in sd else None
+    cfg = CLIPTextConfig(
+        vocab_size=vocab, hidden_size=H, intermediate_size=inter,
+        num_hidden_layers=L, num_attention_heads=H // 64,
+        max_position_embeddings=ctx, hidden_act="gelu",
+        projection_dim=proj, eos_token_id=vocab - 1,
+    )
+    text = CLIPTextEncoder(cfg)
+    tparams = openclip_text_from_torch(
+        {k: np.asarray(v) for k, v in sd.items()
+         if not k.startswith("visual.")})
+    ids = jnp.asarray(g["input_ids"], jnp.int32)
+    out = text.apply({"params": tparams}, ids)
+    errs["text_embeds"] = float(
+        np.abs(np.asarray(out.pooled_output) - g["text_embeds"]).max())
+    np.testing.assert_allclose(np.asarray(out.pooled_output),
+                               g["text_embeds"], rtol=rtol, atol=atol,
+                               err_msg="text_embeds")
+    if verbose:
+        print(f"  text_embeds   max|err| {errs['text_embeds']:.2e}  OK")
+
+    # ---- vision tower -----------------------------------------------------
+    vsd = {k: np.asarray(v) for k, v in sd.items() if k.startswith("visual.")}
+    if vsd:
+        Hv = vsd["visual.ln_post.weight"].shape[0]
+        patch = vsd["visual.conv1.weight"].shape[-1]
+        interv = vsd["visual.transformer.resblocks.0.mlp.c_fc.weight"].shape[0]
+        Lv = 0
+        while f"visual.transformer.resblocks.{Lv}.attn.in_proj_weight" in vsd:
+            Lv += 1
+        vcfg = CLIPVisionConfig(
+            hidden_size=Hv, num_hidden_layers=Lv,
+            num_attention_heads=Hv // 64, intermediate_size=interv,
+            image_size=int(g["image_size"]), patch_size=patch,
+            projection_dim=vsd["visual.proj"].shape[1],
+            hidden_act="gelu",
+        )
+        vision = CLIPVisionEncoder(vcfg)
+        vparams = openclip_vision_from_torch(vsd)
+        emb = vision.apply({"params": vparams},
+                           jnp.asarray(g["pixel_values"]))
+        errs["image_embeds"] = float(
+            np.abs(np.asarray(emb) - g["image_embeds"]).max())
+        np.testing.assert_allclose(np.asarray(emb), g["image_embeds"],
+                                   rtol=rtol, atol=atol,
+                                   err_msg="image_embeds")
+        if verbose:
+            print(f"  image_embeds  max|err| {errs['image_embeds']:.2e}  OK")
+    if verbose:
+        print("open_clip converters certified ✓")
+    return errs

@@ -379,6 +379,12 @@ def main(argv=None):
     p.add_argument("--f32", action="store_true",
                    help="load the checkpoint in float32 (tight tolerances)")
 
+    p = sub.add_parser("validate_openclip")
+    p.add_argument("--checkpoint", required=True,
+                   help="open_clip torch state_dict (.bin/.pt)")
+    p.add_argument("--goldens", required=True,
+                   help="npz from scripts/make_goldens_openclip.py")
+
     p = sub.add_parser("coco")
     _add_common(p)
     p.add_argument("--sub", type=int, default=None)
@@ -421,6 +427,10 @@ def main(argv=None):
         cmd_artists(args)
     elif args.cmd == "debias":
         cmd_debias(args)
+    elif args.cmd == "validate_openclip":
+        from emcid_tpu.cli.validate import validate_openclip
+
+        validate_openclip(args.checkpoint, args.goldens)
     elif args.cmd == "validate":
         from emcid_tpu.cli.validate import cmd_validate
 
