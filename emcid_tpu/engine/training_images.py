@@ -43,12 +43,19 @@ def encode_posterior(components: SDComponents, images: np.ndarray
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Images [-1,1] NHWC → scaled posterior (mean, logvar)."""
 
-    @jax.jit
-    def enc(vae_params, x):
-        dist = components.vae.apply({"params": vae_params}, x, method="encode")
-        return (dist.mean * components.scaling_factor,
-                dist.logvar + 2.0 * jnp.log(components.scaling_factor))
+    from emcid_tpu.models.pipeline import _cached_jit
 
+    vae, sf = components.vae, components.scaling_factor
+
+    def _build():
+        def enc(vae_params, x):
+            dist = vae.apply({"params": vae_params}, x, method="encode")
+            return (dist.mean * sf, dist.logvar + 2.0 * jnp.log(sf))
+
+        return jax.jit(enc)
+
+    enc = _cached_jit(("encode_posterior", vae.config, str(vae.dtype), sf),
+                      _build)
     mean, logvar = enc(components.vae_params, jnp.asarray(images))
     return np.asarray(mean), np.asarray(logvar)
 
@@ -80,15 +87,22 @@ def generate_posteriors(
     vae = components.vae
     sf = components.scaling_factor
 
-    @jax.jit
-    def fused(vae_params, lat):
-        img = vae.apply({"params": vae_params}, lat / sf, method="decode")
-        img = jnp.clip(img / 2 + 0.5, 0.0, 1.0)
-        # quantize like the disk round-trip (uint8) so cached-image and
-        # on-device runs are bit-identical
-        img = jnp.round(img * 255.0) / 255.0 * 2.0 - 1.0
-        dist = vae.apply({"params": vae_params}, img, method="encode")
-        return (dist.mean * sf, dist.logvar + 2.0 * jnp.log(sf))
+    from emcid_tpu.models.pipeline import _cached_jit
+
+    def _build():
+        def fused_fn(vae_params, lat):
+            img = vae.apply({"params": vae_params}, lat / sf, method="decode")
+            img = jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+            # quantize like the disk round-trip (uint8) so cached-image and
+            # on-device runs are bit-identical
+            img = jnp.round(img * 255.0) / 255.0 * 2.0 - 1.0
+            dist = vae.apply({"params": vae_params}, img, method="encode")
+            return (dist.mean * sf, dist.logvar + 2.0 * jnp.log(sf))
+
+        return jax.jit(fused_fn)
+
+    fused = _cached_jit(("fused_posterior", vae.config, str(vae.dtype), sf),
+                        _build)
 
     vae_params = components.vae_params
     if mesh is not None:

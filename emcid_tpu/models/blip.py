@@ -117,7 +117,9 @@ class BlipVisionModel(nn.Module):
 
     def init_params(self, rng):
         px = jnp.zeros((1, self.config.image_size, self.config.image_size, 3))
-        return self.init(rng, px)["params"]
+        from emcid_tpu.models._jit_init import run_init
+
+        return run_init(self.init, rng, px)["params"]
 
 
 class BertSelfAttention(nn.Module):
@@ -182,7 +184,9 @@ class BlipTextModel(nn.Module):
     def init_params(self, rng, seq_len=8):
         ids = jnp.zeros((1, seq_len), jnp.int32)
         enc = jnp.zeros((1, 4, self.config.encoder_hidden_size))
-        return self.init(rng, ids, jnp.ones((1, seq_len)), enc)["params"]
+        from emcid_tpu.models._jit_init import run_init
+
+        return run_init(self.init, rng, ids, jnp.ones((1, seq_len)), enc)["params"]
 
 
 class BlipITM(nn.Module):
@@ -205,7 +209,9 @@ class BlipITM(nn.Module):
         px = jnp.zeros((1, self.vision_config.image_size,
                         self.vision_config.image_size, 3))
         ids = jnp.zeros((1, seq_len), jnp.int32)
-        return self.init(rng, px, ids, jnp.ones((1, seq_len)))["params"]
+        from emcid_tpu.models._jit_init import run_init
+
+        return run_init(self.init, rng, px, ids, jnp.ones((1, seq_len)))["params"]
 
 
 # ---------------------------------------------------------------------------

@@ -260,4 +260,6 @@ class CLIPTextEncoder(nn.Module):
     def init_params(self, rng, seq_len: Optional[int] = None):
         S = seq_len or self.config.max_position_embeddings
         dummy = jnp.zeros((1, S), dtype=jnp.int32)
-        return self.init(rng, dummy)["params"]
+        from emcid_tpu.models._jit_init import run_init
+
+        return run_init(self.init, rng, dummy)["params"]

@@ -210,7 +210,9 @@ class InceptionV3Features(nn.Module):
 
     def init_params(self, rng):
         x = jnp.zeros((1, 299, 299, 3), jnp.float32)
-        return self.init(rng, x)["params"]
+        from emcid_tpu.models._jit_init import run_init
+
+        return run_init(self.init, rng, x)["params"]
 
 
 # ---------------------------------------------------------------------------

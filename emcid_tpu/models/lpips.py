@@ -74,7 +74,9 @@ class LPIPS(nn.Module):
 
     def init_params(self, rng, size: int = 64):
         dummy = jnp.zeros((1, size, size, 3))
-        return self.init(rng, dummy, dummy)["params"]
+        from emcid_tpu.models._jit_init import run_init
+
+        return run_init(self.init, rng, dummy, dummy)["params"]
 
 
 def lpips_from_torch(state_dict) -> Dict[str, Any]:

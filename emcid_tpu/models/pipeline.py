@@ -65,25 +65,53 @@ class SDComponents:
         return dataclasses.replace(self, unet_params=new_params)
 
 
+# jitted per-module helper programs, cached so repeat calls neither retrace
+# nor (on the tunneled TPU) dispatch eagerly primitive-by-primitive
+_JIT_CACHE: Dict[Any, Any] = {}
+
+
+def _cached_jit(key, build):
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = _JIT_CACHE[key] = build()
+    return fn
+
+
 def encode_prompts(components: SDComponents, prompts: Sequence[str],
                    max_length: Optional[int] = None) -> jnp.ndarray:
     """Prompts → (B, S, H) text-encoder hidden states (SD conditioning)."""
     tok = components.tokenizer
     enc = tok(list(prompts), padding="max_length", truncation=True,
               max_length=max_length or tok.model_max_length)
-    out = components.text_encoder.apply(
-        {"params": components.text_params}, jnp.asarray(enc["input_ids"])
+    text = components.text_encoder
+    run = _cached_jit(
+        ("encode_prompts", text.config, str(text.dtype)),
+        lambda: jax.jit(
+            lambda p, ids: text.apply({"params": p}, ids).last_hidden_state
+        ),
     )
-    return out.last_hidden_state
+    return run(components.text_params, jnp.asarray(enc["input_ids"]))
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _seeded_normal(seeds: jnp.ndarray, h: int, w: int, c: int,
+                   dtype) -> jnp.ndarray:
+    keys = jax.vmap(jax.random.PRNGKey)(seeds)
+    return jax.vmap(
+        lambda k: jax.random.normal(k, (h, w, c), dtype)
+    )(keys)
 
 
 def initial_latents(seeds: Sequence[int], height: int, width: int,
                     channels: int = 4, vae_scale: int = 8,
                     dtype=jnp.float32) -> jnp.ndarray:
-    """Per-image seeded latents (B, h/8, w/8, C)."""
-    shape = (height // vae_scale, width // vae_scale, channels)
-    keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
-    return jax.vmap(lambda k: jax.random.normal(k, shape, dtype))(keys)
+    """Per-image seeded latents (B, h/8, w/8, C) — one program, not one
+    PRNG dispatch per seed (each eager op is a round-trip on the tunneled
+    backend)."""
+    return _seeded_normal(
+        jnp.asarray([int(s) for s in seeds], jnp.uint32),
+        height // vae_scale, width // vae_scale, channels, dtype,
+    )
 
 
 # Compiled samplers keyed by (unet config id, steps, sampler, guidance on/off)
@@ -204,14 +232,14 @@ def decode_latents(components: SDComponents, latents: jnp.ndarray,
     """Latents → uint8 RGB images (B, H, W, 3).  A sharded latent batch
     decodes sharded (params replicated); the host transfer gathers."""
 
-    @jax.jit
-    def dec(vae_params, lat):
-        img = components.vae.apply(
-            {"params": vae_params}, lat / components.scaling_factor,
-            method="decode",
-        )
-        return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
-
+    vae, sf = components.vae, components.scaling_factor
+    dec = _cached_jit(
+        ("decode", vae.config, str(vae.dtype), sf),
+        lambda: jax.jit(lambda p, lat: jnp.clip(
+            vae.apply({"params": p}, lat / sf, method="decode") / 2 + 0.5,
+            0.0, 1.0,
+        )),
+    )
     vae_params = components.vae_params
     if mesh is not None:
         from emcid_tpu.parallel import replicate, shard_batch
@@ -231,12 +259,14 @@ def encode_images(components: SDComponents, images: np.ndarray,
         x = x.astype(jnp.float32) / 255.0
     x = x * 2.0 - 1.0
 
-    @jax.jit
-    def enc(vae_params, x, key):
-        dist = components.vae.apply({"params": vae_params}, x, method="encode")
-        z = dist.sample(key) if key is not None else dist.mode()
-        return z * components.scaling_factor
-
+    vae, sf = components.vae, components.scaling_factor
+    enc = _cached_jit(
+        ("encode_images", vae.config, str(vae.dtype), sf, rng is None),
+        lambda: jax.jit(lambda p, x, key: (
+            vae.apply({"params": p}, x, method="encode").mode() if key is None
+            else vae.apply({"params": p}, x, method="encode").sample(key)
+        ) * sf),
+    )
     return enc(components.vae_params, x, rng)
 
 

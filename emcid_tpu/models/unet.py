@@ -387,7 +387,9 @@ class UNet2DCondition(nn.Module):
                 "text_embeds": jnp.zeros((batch, pool_dim), dtype=jnp.float32),
                 "time_ids": jnp.zeros((batch, 6), dtype=jnp.float32),
             }
-        return self.init(rng, sample, t, ctx, added)["params"]
+        from emcid_tpu.models._jit_init import run_init
+
+        return run_init(self.init, rng, sample, t, ctx, added)["params"]
 
 
 def cross_attn_kv_layer_names(config: UNetConfig) -> list:

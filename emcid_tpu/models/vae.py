@@ -181,4 +181,6 @@ class AutoencoderKL(nn.Module):
     def init_params(self, rng, image_size: int = 32):
         dummy = jnp.zeros((1, image_size, image_size, self.config.in_channels),
                           dtype=jnp.float32)
-        return self.init(rng, dummy)["params"]
+        from emcid_tpu.models._jit_init import run_init
+
+        return run_init(self.init, rng, dummy)["params"]

@@ -147,7 +147,9 @@ class ViTClassifier(nn.Module):
         dummy = jnp.zeros(
             (1, self.config.image_size, self.config.image_size, 3)
         )
-        return self.init(rng, dummy)["params"]
+        from emcid_tpu.models._jit_init import run_init
+
+        return run_init(self.init, rng, dummy)["params"]
 
 
 def vit_from_torch(state_dict, num_labels: int = 1000) -> Dict[str, Any]:
@@ -265,7 +267,9 @@ class CLIPVisionEncoder(nn.Module):
         dummy = jnp.zeros(
             (1, self.config.image_size, self.config.image_size, 3)
         )
-        return self.init(rng, dummy)["params"]
+        from emcid_tpu.models._jit_init import run_init
+
+        return run_init(self.init, rng, dummy)["params"]
 
 
 class CLIPScorer(NamedTuple):

@@ -10,6 +10,24 @@ from __future__ import annotations
 import os
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's feature flags (ISA identity)."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform as _platform
+
+    return hashlib.md5(
+        f"{_platform.machine()}-{_platform.processor()}".encode()
+    ).hexdigest()[:10]
+
+
 def setup_compilation_cache() -> None:
     if os.environ.get("EMCID_TPU_NO_CACHE") == "1":
         return
@@ -19,10 +37,17 @@ def setup_compilation_cache() -> None:
         # per-platform subdir: CPU and TPU executables must not share a
         # cache (cross-machine CPU AOT entries trip feature-mismatch loads)
         platform = os.environ.get("JAX_PLATFORMS", "default").split(",")[0]
+        subdir = platform or "default"
+        if subdir in ("cpu", "default"):
+            # CPU AOT code is host-ISA-specific: a cache dir carried to a
+            # machine with different CPU features loads with "could lead to
+            # SIGILL" warnings and subtly different codegen — key the dir on
+            # the host's feature set
+            subdir = f"{subdir}-{_host_fingerprint()}"
         cache_dir = os.path.join(
             os.environ.get("EMCID_TPU_CACHE",
                            os.path.expanduser("~/.cache/emcid_tpu_xla")),
-            platform or "default",
+            subdir,
         )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

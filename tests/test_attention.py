@@ -100,6 +100,7 @@ def test_dispatch_short_and_long(rng, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_unet_still_correct_after_kernel_swap(rng):
     """UNet forward unchanged (within tolerance) vs a pre-swap einsum
     reference computed by forcing the einsum path."""

@@ -102,6 +102,7 @@ def test_prepare_concept_batch(setup):
     assert dst[1][1] == "an image of a goldfish"
 
 
+@pytest.mark.slow
 def test_z_optimization_descends_and_clamps(setup):
     tok, text, tp, unet, up, sched = setup
     hp = make_hp(v_num_grad_steps=15)
@@ -128,6 +129,7 @@ def test_z_optimization_descends_and_clamps(setup):
                 hp.clamp_norm_factor * np.linalg.norm(z0[c]) + 1e-4)
 
 
+@pytest.mark.slow
 def test_z_optimization_deterministic(setup):
     tok, text, tp, unet, up, sched = setup
     hp = make_hp(v_num_grad_steps=5)
@@ -148,6 +150,7 @@ def test_z_optimization_deterministic(setup):
     ("ablate-dest", {"no_noise_loss": True}),
     ("ablate-dest", {"align_object_token": True}),
 ])
+@pytest.mark.slow
 def test_objective_variants_run(setup, objective, extra):
     tok, text, tp, unet, up, sched = setup
     hp = make_hp(objective=objective, v_num_grad_steps=3, **extra)

@@ -105,6 +105,7 @@ def test_get_factors_converges_structurally(world, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_apply_debias_end_to_end(world, tmp_path):
     comps, scorer = world
     hp = _hp()

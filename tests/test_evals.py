@@ -141,6 +141,7 @@ def _tiny_hp(layers=(2, 3)):
     })
 
 
+@pytest.mark.slow
 def test_full_aice_harness_tiny(tiny_world):
     comps, scorer, data_dir, base = tiny_world
     hp = _tiny_hp()

@@ -83,6 +83,7 @@ def comps():
 GEN = dict(num_inference_steps=2, height=16, width=16)
 
 
+@pytest.mark.slow
 def test_sequential_editing(comps, tmp_path):
     rounds = [
         [{"source": "cat", "dest": "dog",
@@ -141,6 +142,7 @@ def test_workflows_cli_layer_stats(tmp_path):
     assert len(files) == 2
 
 
+@pytest.mark.slow
 def test_workflows_cli_aice_tiny(tmp_path, monkeypatch):
     """The AICE workflow runs end-to-end on the tiny pipeline with a
     synthetic data tree."""

@@ -249,6 +249,7 @@ def test_fid_features_batching(torch_net):
     np.testing.assert_allclose(feats, feats1, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fid_end_to_end(tmp_path, torch_net):
     """fid_between_folders with the native extractor: FID(A, A) == 0 and
     FID(A, B) > 0."""

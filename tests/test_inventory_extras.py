@@ -127,6 +127,7 @@ def test_unet_layer_stats(rng):
     np.testing.assert_allclose(C, C.T, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_mixed_safety_harness(tmp_path):
     from emcid_tpu.evals.mixed_safety import emcid_test_sd_imgnet_and_i2p
     from emcid_tpu.evals.scorers import make_vit_scorer

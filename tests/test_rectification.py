@@ -55,6 +55,7 @@ def _hp():
 GEN = dict(num_inference_steps=2, height=16, width=16)
 
 
+@pytest.mark.slow
 def test_mend_emcid(world):
     base, comps, scorer = world
     rec = emcid_test_imgnet_mend(

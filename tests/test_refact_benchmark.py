@@ -78,6 +78,7 @@ def _hp():
     })
 
 
+@pytest.mark.slow
 def test_timed_end_to_end(world):
     from emcid_tpu.dsets import TIMEDRoadRequestDataset
 

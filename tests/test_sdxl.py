@@ -83,6 +83,7 @@ REQS = [
 ]
 
 
+@pytest.mark.slow
 def test_sdxl_stage1_joint(comps, rng):
     hp = _hp()
     mean, logvar = _latents(1, rng)
@@ -128,6 +129,7 @@ def test_sdxl_stage2_edits_both_encoders(comps, rng):
         generate_sdxl(edited, ["a photo of a cat"], [3], **kw))
 
 
+@pytest.mark.slow
 def test_sdxl_apply_with_cache(comps, rng, tmp_path):
     hp = _hp(v_num_grad_steps=2)
     mean, logvar = _latents(1, rng)

@@ -17,6 +17,8 @@ from emcid_tpu.hparams import EMCIDHyperParams
 from emcid_tpu.models.loader import build_tiny_pipeline
 from emcid_tpu.models.vision import CLIPVisionEncoder, TINY_CLIP_VISION
 
+pytestmark = pytest.mark.slow
+
 HP = dict(
     layers=[0, 1], clamp_norm_factor=1.5, layer_selection="all",
     fact_token="subject_last", v_num_grad_steps=3, v_lr=0.1,

@@ -68,6 +68,7 @@ def test_debias_uniform_ratio_is_a_no_op(comps):
     np.testing.assert_allclose(final_r[0], [0.5, 0.5])
 
 
+@pytest.mark.slow
 def test_debias_loop_edits_until_converged(comps):
     """Biased readings trigger K/V edits; the scripted ratio then converges
     and the loop stops with changed projections."""

@@ -149,6 +149,7 @@ def test_capture_module_inputs(comps, rng):
     assert inputs.shape == (1, 64, 32)  # 8x8 spatial at level-0 res, C=32
 
 
+@pytest.mark.slow
 def test_unet_edit_end_to_end(comps, rng, monkeypatch):
     import emcid_tpu.engine.unet_edit as ue
 

@@ -58,6 +58,7 @@ def test_sld_configs_present():
     assert set(SLD_CONFIGS) == {"max", "strong"}
 
 
+@pytest.mark.slow
 def test_compute_z_global(comps):
     req = {
         "source_prompts": ["a cat nudity photo", "nudity of a dog"],
