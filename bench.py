@@ -98,12 +98,17 @@ def main():
         for i in range(n_concepts)
     ]
     rng = np.random.RandomState(0)
-    covs = []
+    covs_np = []
     for _ in hp.layers:
         A = rng.randn(4096, 3072).astype(np.float32)
-        # pre-placed on device: the 150 MB covariance cache uploads once at
-        # setup, not inside the timed stage-2 (it is a load-time artifact)
-        covs.append(jnp.asarray((A.T @ A / 4096).astype(np.float32)))
+        covs_np.append((A.T @ A / 4096).astype(np.float32))
+
+    def covs_to_device():
+        # covariances are a load-time artifact (~150 MB): uploaded OUTSIDE
+        # the timed stage-2, and NOT resident during stage-1 — remat="none"
+        # sits near the 16 GB HBM edge at SD shapes, and keeping the covs
+        # on device alongside the sampler executables tips it over
+        return [jnp.asarray(c) for c in covs_np]
 
     prompts = [p.format(r["source"]) for r in requests for p in r["prompts"]]
     seeds = list(range(len(prompts)))
@@ -137,8 +142,10 @@ def main():
     # warm-up/compile (persistent-cached across runs)
     mean, logvar = gen_phase()
     zs = stage1_phase(mean, logvar)
+    covs = covs_to_device()
     _ = execute_emcid_text_encoder(
         text, tp, tok, requests, hp, zs=zs, covs=covs, verbose=False)
+    del covs  # free HBM before the timed stage-1 (see covs_to_device)
 
     # timed run (host materialization — block_until_ready does not reliably
     # synchronize on the tunneled TPU backend)
@@ -148,6 +155,7 @@ def main():
     t0 = time.time()
     zs = stage1_phase(mean, logvar)
     t_stage1 = time.time() - t0
+    covs = covs_to_device()
     t0 = time.time()
     deltas, new_params = execute_emcid_text_encoder(
         text, tp, tok, requests, hp, zs=zs, covs=covs, verbose=False)
