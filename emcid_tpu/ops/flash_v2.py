@@ -45,12 +45,23 @@ def _round_up(x: int, m: int) -> int:
     return _ceil(x, m) * m
 
 
-def _blocks(N: int, M: int) -> Tuple[int, int]:
-    # swept on v5e at the level-0 shape (B=24, N=M=4096, H=8, D=40):
-    # 1024/1024 -> fwd 17.7 ms, fwd+bwd 51.2 ms (256/1024 was 22.0/62.4;
-    # BK=4096 fails to compile — VMEM)
-    bq = int(os.environ.get("EMCID_TPU_FLASH_BQ", 1024))
-    bk = int(os.environ.get("EMCID_TPU_FLASH_BK", 1024))
+def _blocks(N: int, M: int, D: int, bwd: bool = False) -> Tuple[int, int]:
+    # swept on v5e at the level-0 shape (B=24, N=M=4096, H=8, D=40),
+    # scanned-program slope timing: fwd BQ/BK 2048/1024 -> 12.6 ms,
+    # 1024/1024 -> 13.2, 1024/2048 -> 13.1, 512/2048 -> 13.7; 2048/2048 and
+    # 4096/1024 fail to compile (VMEM). Two VMEM constraints:
+    # * the BACKWARD kernels hold two (BK, BQ) f32 temporaries — BQ=2048
+    #   exceeds the 16 MB scoped limit there, so bwd stays at 1024/1024
+    #   (26.6 ms fwd+bwd);
+    # * the FORWARD's o_acc is (Dt, BQ) f32 — fine at the UNet's D=40/80,
+    #   but the VAE decoder's single-head D=512 attention needs BQ=1024.
+    if bwd:
+        bq = int(os.environ.get("EMCID_TPU_FLASH_BQ_BWD", 1024))
+        bk = int(os.environ.get("EMCID_TPU_FLASH_BK_BWD", 1024))
+    else:
+        bq_default = 2048 if D <= 128 else 1024
+        bq = int(os.environ.get("EMCID_TPU_FLASH_BQ", bq_default))
+        bk = int(os.environ.get("EMCID_TPU_FLASH_BK", 1024))
     return min(bq, _round_up(N, 128)), min(bk, _round_up(M, 128))
 
 
@@ -104,7 +115,7 @@ def _fwd(q, k, v, scale: float, interpret: bool = False):
     """(B, N, H, D) x2(M) → (out (B, N, H, D), lse (BH, 1, Np))."""
     B, N, H, D = q.shape
     M = k.shape[1]
-    BQ, BK = _blocks(N, M)
+    BQ, BK = _blocks(N, M, D)
     Dp = _round_up(D, 128)   # lane-padded (QK contraction)
     Dt = _round_up(D, 16)    # sublane-padded (PV output)
     Np, Mp = _round_up(N, BQ), _round_up(M, BK)
@@ -231,7 +242,7 @@ def _bwd(res, g, scale: float, interpret: bool = False):
     q, k, v, lse, o = res
     B, N, H, D = q.shape
     M = k.shape[1]
-    BQ, BK = _blocks(N, M)
+    BQ, BK = _blocks(N, M, D, bwd=True)
     Dp = _round_up(D, 128)
     Dt = _round_up(D, 16)
     Np, Mp = _round_up(N, BQ), _round_up(M, BK)
@@ -253,8 +264,11 @@ def _bwd(res, g, scale: float, interpret: bool = False):
     delta = jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
     delta = jnp.swapaxes(delta, 1, 2).reshape(B * H, 1, N)
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, Np - N)))
-    lse = jnp.pad(lse, ((0, 0), (0, 0), (0, Np - lse.shape[2]))) \
-        if lse.shape[2] != Np else lse
+    # lse was padded to the FORWARD's Np; the backward may block differently
+    if lse.shape[2] > Np:
+        lse = lse[:, :, :Np]
+    elif lse.shape[2] < Np:
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, Np - lse.shape[2])))
 
     grid_q = (B * H, Np // BQ, Mp // BK)
     dqt = pl.pallas_call(
