@@ -30,6 +30,8 @@ from emcid_tpu.models.scheduler import (
     Schedule,
     ddim_step,
     ddim_timesteps,
+    dpmpp_init,
+    dpmpp_step,
     pndm_init,
     pndm_step,
     sd_schedule,
@@ -169,6 +171,19 @@ def _get_sampler(unet, schedule: Schedule, num_steps: int, sampler: str,
 
             (latents, _), _ = jax.lax.scan(
                 body, (latents, pndm_init(latents.shape, latents.dtype)),
+                (jnp.asarray(ts), jnp.asarray(ts_prev)),
+            )
+        elif sampler == "dpm++":
+
+            def body(carry, t_pair):
+                lat, state = carry
+                t, t_prev = t_pair
+                eps = unet_eps(lat, t)
+                state, lat = dpmpp_step(schedule, state, lat, eps, t, t_prev)
+                return (lat, state), None
+
+            (latents, _), _ = jax.lax.scan(
+                body, (latents, dpmpp_init(latents.shape, latents.dtype)),
                 (jnp.asarray(ts), jnp.asarray(ts_prev)),
             )
         else:

@@ -1,0 +1,91 @@
+"""DPM-Solver++(2M) sampler: exact-model recovery + pipeline integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from emcid_tpu.models.scheduler import (
+    Schedule,
+    ddim_timesteps,
+    dpmpp_init,
+    dpmpp_step,
+    sd_schedule,
+)
+
+
+def _run_sampler(schedule, x0_star, steps, start_noise):
+    """Drive dpmpp with the EXACT eps model for a fixed x0*:
+    eps(x_t, t) = (x_t - a_t x0*) / s_t.  Any consistent ODE solver must
+    return exactly x0* at the end (the x0 prediction is exact each step)."""
+    ts = ddim_timesteps(schedule, steps)
+    ts_prev = np.concatenate([ts[1:], [-1]]).astype(np.int32)
+    acp = jnp.asarray(schedule.alphas_cumprod)
+    t0 = int(ts[0])
+    lat = (jnp.sqrt(acp[t0]) * x0_star
+           + jnp.sqrt(1 - acp[t0]) * start_noise)
+    state = dpmpp_init(lat.shape, lat.dtype)
+    for t, tp in zip(ts, ts_prev):
+        a_t = jnp.sqrt(acp[t])
+        s_t = jnp.sqrt(1 - acp[t])
+        eps = (lat - a_t * x0_star) / s_t
+        state, lat = dpmpp_step(schedule, state, lat, eps,
+                                jnp.asarray(t), jnp.asarray(int(tp)))
+    return lat
+
+
+@pytest.mark.parametrize("steps", [5, 20])
+def test_dpmpp_exact_model_recovers_x0(rng, steps):
+    schedule = sd_schedule()
+    x0 = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    noise = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    out = _run_sampler(schedule, x0, steps, noise)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_dpmpp_second_order_tracks_curved_x0():
+    """With a t-dependent x0 target the 2M history term engages (counter>0
+    path) and the solver still lands near the final x0 — checks the D1
+    correction has the right sign/scale rather than blowing up."""
+    schedule = Schedule.scaled_linear(num_train_timesteps=100)
+    acp = jnp.asarray(schedule.alphas_cumprod)
+    base = jnp.ones((1, 4, 4, 2), jnp.float32)
+
+    def x0_of_t(t):  # slowly varying target
+        return base * (1.0 + 0.1 * (t / 100.0))
+
+    ts = ddim_timesteps(schedule, 10)
+    ts_prev = np.concatenate([ts[1:], [-1]]).astype(np.int32)
+    t0 = int(ts[0])
+    lat = jnp.sqrt(acp[t0]) * x0_of_t(t0) + jnp.sqrt(1 - acp[t0]) * 0.5
+    state = dpmpp_init(lat.shape, lat.dtype)
+    for t, tp in zip(ts, ts_prev):
+        a_t, s_t = jnp.sqrt(acp[t]), jnp.sqrt(1 - acp[t])
+        eps = (lat - a_t * x0_of_t(int(t))) / s_t
+        state, lat = dpmpp_step(schedule, state, lat, eps,
+                                jnp.asarray(t), jnp.asarray(int(tp)))
+    final = np.asarray(x0_of_t(int(ts[-1])))
+    np.testing.assert_allclose(np.asarray(lat), final, rtol=0.05, atol=0.05)
+
+
+def test_pipeline_dpmpp_sampler_runs():
+    from emcid_tpu.models.loader import build_tiny_pipeline
+    from emcid_tpu.models.pipeline import generate
+
+    comps = build_tiny_pipeline()
+    imgs = generate(
+        comps, ["a photo of w1", "w2"], [0, 1], batch_size=2,
+        num_inference_steps=4, guidance_scale=7.5, height=16, width=16,
+        sampler="dpm++",
+    )
+    assert imgs.shape == (2, 16, 16, 3)
+    assert imgs.dtype == np.uint8
+    # seeded determinism
+    imgs2 = generate(
+        comps, ["a photo of w1", "w2"], [0, 1], batch_size=2,
+        num_inference_steps=4, guidance_scale=7.5, height=16, width=16,
+        sampler="dpm++",
+    )
+    assert np.array_equal(imgs, imgs2)
