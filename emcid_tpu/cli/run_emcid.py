@@ -119,6 +119,10 @@ def main(argv=None):
                         help="z-vector cache directory")
     parser.add_argument("--steps", type=int, default=50,
                         help="sampler inference steps")
+    parser.add_argument("--sampler", default="pndm",
+                        choices=["pndm", "ddim", "dpm++"],
+                        help="pndm = reference SD default; dpm++ reaches "
+                        "PNDM-50 quality in 20-25 steps")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                         help="force a jax platform (tiny smoke runs are "
@@ -188,7 +192,8 @@ def main(argv=None):
             "--random-init, or --tiny (no hub access in this build)"
         )
 
-    gen_kwargs = dict(num_inference_steps=steps, height=res, width=res)
+    gen_kwargs = dict(num_inference_steps=steps, height=res, width=res,
+                      sampler=args.sampler)
     names, prompts, seeds = [], [], []
     for i, vp in enumerate(val_prompts):
         for s in range(sample_num):
