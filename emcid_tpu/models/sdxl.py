@@ -122,8 +122,10 @@ def sample_latents_sdxl(
     guidance_scale: float = 5.0,
     height: int = 1024,
     width: int = 1024,
+    sampler: str = "ddim",
 ) -> jnp.ndarray:
-    """CFG DDIM sampling with SDXL added conditions, one scanned program."""
+    """CFG sampling with SDXL added conditions, one scanned program.
+    ``sampler``: ddim (default) / pndm / dpm++ (see models.scheduler)."""
     from emcid_tpu.models.pipeline import initial_latents
 
     ctx_c, pool_c = encode_prompts_sdxl(components, prompts)
@@ -136,7 +138,7 @@ def sample_latents_sdxl(
     tids = sdxl_time_ids(B, height, width)
 
     key = (components.unet.config, num_inference_steps,
-           components.schedule.num_train_timesteps)
+           components.schedule.num_train_timesteps, sampler)
     if key not in _SDXL_SAMPLER_CACHE:
         ts = ddim_timesteps(components.schedule, num_inference_steps)
         ts_prev = np.concatenate([ts[1:], [-1]]).astype(np.int32)
@@ -152,20 +154,54 @@ def sample_latents_sdxl(
                 "time_ids": jnp.concatenate([tids, tids], axis=0),
             }
 
-            def body(lat, t_pair):
-                t, t_prev = t_pair
+            def unet_eps(lat, t):
                 lat2 = jnp.concatenate([lat, lat], axis=0)
                 eps2 = unet.apply(
                     {"params": unet_params}, lat2,
                     jnp.broadcast_to(t, (2 * B,)), ctx2, added,
                 ).sample
                 eps_u, eps_c = jnp.split(eps2, 2, axis=0)
-                eps = eps_u + g * (eps_c - eps_u)
-                return ddim_step(schedule, lat, eps, t, t_prev), None
+                return eps_u + g * (eps_c - eps_u)
 
-            lat, _ = jax.lax.scan(
-                body, latents, (jnp.asarray(ts), jnp.asarray(ts_prev))
-            )
+            if sampler == "ddim":
+                def body(lat, t_pair):
+                    t, t_prev = t_pair
+                    eps = unet_eps(lat, t)
+                    return ddim_step(schedule, lat, eps, t, t_prev), None
+
+                lat, _ = jax.lax.scan(
+                    body, latents, (jnp.asarray(ts), jnp.asarray(ts_prev))
+                )
+            elif sampler == "pndm":
+                from emcid_tpu.models.scheduler import pndm_init, pndm_step
+
+                def body(carry, t_pair):
+                    lat, st = carry
+                    t, t_prev = t_pair
+                    eps = unet_eps(lat, t)
+                    st, lat = pndm_step(schedule, st, lat, eps, t, t_prev)
+                    return (lat, st), None
+
+                (lat, _), _ = jax.lax.scan(
+                    body, (latents, pndm_init(latents.shape, latents.dtype)),
+                    (jnp.asarray(ts), jnp.asarray(ts_prev)),
+                )
+            elif sampler == "dpm++":
+                from emcid_tpu.models.scheduler import dpmpp_init, dpmpp_step
+
+                def body(carry, t_pair):
+                    lat, st = carry
+                    t, t_prev = t_pair
+                    eps = unet_eps(lat, t)
+                    st, lat = dpmpp_step(schedule, st, lat, eps, t, t_prev)
+                    return (lat, st), None
+
+                (lat, _), _ = jax.lax.scan(
+                    body, (latents, dpmpp_init(latents.shape, latents.dtype)),
+                    (jnp.asarray(ts), jnp.asarray(ts_prev)),
+                )
+            else:
+                raise ValueError(f"unknown sampler {sampler!r}")
             return lat
 
         _SDXL_SAMPLER_CACHE[key] = run
