@@ -435,6 +435,22 @@ class ZOptimizer:
             rng = jax.random.PRNGKey(0)
         total = self.hparams.v_num_grad_steps
         chunk = max(1, min(self.chunk_steps, total)) if total else 1
+        # watchdog guard: a single device execution beyond ~60 s crashes the
+        # tunneled TPU worker (observed: 80 steps x 0.78 s => worker
+        # restart).  Cap each chunk at ~15 s using the analytic step-FLOP
+        # estimate at a conservative 50 TFLOP/s.
+        if total and jax.default_backend() not in ("cpu",):
+            try:
+                from emcid_tpu.profiling import stage1_step_flops
+
+                C = batch.source_ids.shape[0]
+                P = batch.source_ids.shape[1]
+                hw = batch.latents_mean.shape[-2]
+                est_s = stage1_step_flops(
+                    None, C, P, latent_hw=hw, remat=self.remat) / 50e12
+                chunk = max(1, min(chunk, int(15.0 / max(est_s, 1e-3))))
+            except Exception:
+                pass
         carry = None
         losses_all = []
         done = 0
