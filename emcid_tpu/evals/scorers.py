@@ -49,7 +49,16 @@ def make_vit_scorer(config: Optional[ViTConfig] = None, params=None,
     """Build a ViT scorer from converted weights or random init (tests)."""
     from emcid_tpu.models.vision import VIT_BASE_224, vit_from_torch
 
-    config = config or (VIT_BASE_224 if torch_state_dict else TINY_VIT)
+    if config is None:
+        if torch_state_dict is not None:
+            config = VIT_BASE_224
+        else:
+            # random-init smoke scorer: tiny tower, but an ImageNet-shaped
+            # head — real benchmark data carries class ids up to 999, and a
+            # 10-class head crashes the structure-only runs on them
+            import dataclasses
+
+            config = dataclasses.replace(TINY_VIT, num_labels=1000)
     model = ViTClassifier(config)
     if params is None:
         if torch_state_dict is not None:

@@ -46,7 +46,8 @@ def test_vit_scorer_probs(rng):
     scorer = make_vit_scorer()
     imgs = rng.randint(0, 255, (4, 32, 32, 3)).astype(np.uint8)
     probs = scorer.probs(imgs)
-    assert probs.shape == (4, 10)
+    # smoke scorer: tiny tower with an ImageNet-shaped (1000-class) head
+    assert probs.shape == (4, 1000)
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
     s = calculate_single_cls_score(scorer, imgs, 3)
     np.testing.assert_allclose(s, probs[:, 3].mean(), rtol=1e-6)
