@@ -108,7 +108,10 @@ def main():
         # the timed stage-2, and NOT resident during stage-1 — remat="none"
         # sits near the 16 GB HBM edge at SD shapes, and keeping the covs
         # on device alongside the sampler executables tips it over
-        return [jnp.asarray(c) for c in covs_np]
+        covs = [jnp.asarray(c) for c in covs_np]
+        for c in covs:  # force the async transfer to finish NOW, not
+            _ = np.asarray(c[0, :1])  # inside the next timed region
+        return covs
 
     prompts = [p.format(r["source"]) for r in requests for p in r["prompts"]]
     seeds = list(range(len(prompts)))

@@ -73,7 +73,8 @@ def _main_sdxl(args, instruction, hparams, requests, mom2_weight,
             "(HF-format SDXL dir conversion lands with the bigG converter)"
         )
 
-    gen_kwargs = dict(num_inference_steps=steps, height=res, width=res)
+    gen_kwargs = dict(num_inference_steps=steps, height=res, width=res,
+                      sampler=getattr(args, "sampler", "ddim"))
     names, prompts, seeds = [], [], []
     for i, vp in enumerate(val_prompts):
         for s in range(sample_num):

@@ -458,30 +458,35 @@ class ZOptimizer:
         while done < total or (total == 0 and zs is None):
             n = min(chunk, total - done) if total else 0
             rng, sub = jax.random.split(rng)
-            try:
-                zs, delta, z0, losses, opt_state = self._run(
-                    text_params, unet_params, batch, sub,
-                    steps=n, step_offset=jnp.asarray(done),
-                    carry_in=carry,
-                    noise_override=noise_override, ts_override=ts_override,
-                    dest_img_emb=dest_img_emb, tia_weight=tia_weight,
-                )
-            except Exception as e:  # HBM fallback: "none" stores all fwd
-                # residuals and sits near the 16 GB edge at SD shapes —
-                # whether it fits depends on what else is resident (e.g. the
-                # sampler executables after training-image generation).
-                # Escalate to full rematerialization (+~25% step time) and
-                # retry the SAME chunk: the (delta, opt_state) carry is
-                # functional, so nothing was corrupted by the failed launch.
-                if ("RESOURCE_EXHAUSTED" not in str(e)
-                        or self.remat == "full"):
-                    raise
-                print(f"[emcid_tpu] stage-1 remat={self.remat!r} exhausted "
-                      "HBM; retrying with remat='full'")
-                self.remat = "full"
-                self._run = jax.jit(self._run_impl,
-                                    static_argnames=("steps",))
-                continue
+            while True:
+                try:
+                    zs, delta, z0, losses, opt_state = self._run(
+                        text_params, unet_params, batch, sub,
+                        steps=n, step_offset=jnp.asarray(done),
+                        carry_in=carry,
+                        noise_override=noise_override,
+                        ts_override=ts_override,
+                        dest_img_emb=dest_img_emb, tia_weight=tia_weight,
+                    )
+                    break
+                except Exception as e:  # HBM fallback: "none" stores all
+                    # fwd residuals and sits near the 16 GB edge at SD
+                    # shapes — whether it fits depends on what else is
+                    # resident (e.g. the sampler executables after
+                    # training-image generation).  Escalate to full
+                    # rematerialization (+~25% step time) and retry the
+                    # SAME chunk with the SAME rng subkey: the
+                    # (delta, opt_state) carry is functional and the key is
+                    # reused, so the trajectory is identical to a run that
+                    # fit in HBM from the start.
+                    if ("RESOURCE_EXHAUSTED" not in str(e)
+                            or self.remat == "full"):
+                        raise
+                    print(f"[emcid_tpu] stage-1 remat={self.remat!r} "
+                          "exhausted HBM; retrying with remat='full'")
+                    self.remat = "full"
+                    self._run = jax.jit(self._run_impl,
+                                        static_argnames=("steps",))
             losses_all.append(losses)
             carry = (delta, opt_state)
             done += n

@@ -52,13 +52,16 @@ def make_vit_scorer(config: Optional[ViTConfig] = None, params=None,
     if config is None:
         if torch_state_dict is not None:
             config = VIT_BASE_224
-        else:
+        elif params is None:
             # random-init smoke scorer: tiny tower, but an ImageNet-shaped
             # head — real benchmark data carries class ids up to 999, and a
             # 10-class head crashes the structure-only runs on them
             import dataclasses
 
             config = dataclasses.replace(TINY_VIT, num_labels=1000)
+        else:
+            # caller-supplied params were built for the plain TINY_VIT
+            config = TINY_VIT
     model = ViTClassifier(config)
     if params is None:
         if torch_state_dict is not None:

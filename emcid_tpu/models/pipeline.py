@@ -30,10 +30,7 @@ from emcid_tpu.models.scheduler import (
     Schedule,
     ddim_step,
     ddim_timesteps,
-    dpmpp_init,
-    dpmpp_step,
-    pndm_init,
-    pndm_step,
+    scan_sampler,
     sd_schedule,
 )
 
@@ -149,46 +146,7 @@ def _get_sampler(unet, schedule: Schedule, num_steps: int, sampler: str,
                 ctx_cond,
             ).sample
 
-        if sampler == "ddim":
-
-            def body(lat, t_pair):
-                t, t_prev = t_pair
-                eps = unet_eps(lat, t)
-                return ddim_step(schedule, lat, eps, t, t_prev), None
-
-            latents, _ = jax.lax.scan(
-                body, latents,
-                (jnp.asarray(ts), jnp.asarray(ts_prev)),
-            )
-        elif sampler == "pndm":
-
-            def body(carry, t_pair):
-                lat, state = carry
-                t, t_prev = t_pair
-                eps = unet_eps(lat, t)
-                state, lat = pndm_step(schedule, state, lat, eps, t, t_prev)
-                return (lat, state), None
-
-            (latents, _), _ = jax.lax.scan(
-                body, (latents, pndm_init(latents.shape, latents.dtype)),
-                (jnp.asarray(ts), jnp.asarray(ts_prev)),
-            )
-        elif sampler == "dpm++":
-
-            def body(carry, t_pair):
-                lat, state = carry
-                t, t_prev = t_pair
-                eps = unet_eps(lat, t)
-                state, lat = dpmpp_step(schedule, state, lat, eps, t, t_prev)
-                return (lat, state), None
-
-            (latents, _), _ = jax.lax.scan(
-                body, (latents, dpmpp_init(latents.shape, latents.dtype)),
-                (jnp.asarray(ts), jnp.asarray(ts_prev)),
-            )
-        else:
-            raise ValueError(f"unknown sampler {sampler!r}")
-        return latents
+        return scan_sampler(sampler, schedule, unet_eps, latents, ts, ts_prev)
 
     _SAMPLER_CACHE[key] = run
     return run

@@ -126,6 +126,40 @@ def ddpm_step(schedule: Schedule, latents: jnp.ndarray, eps: jnp.ndarray,
     return mean + jnp.where(t > 0, jnp.sqrt(var), 0.0) * noise
 
 
+def scan_sampler(sampler: str, schedule: Schedule, unet_eps, latents,
+                 ts, ts_prev):
+    """Full inference loop for any registered sampler as one ``lax.scan``.
+
+    ``unet_eps(lat, t)`` is the (CFG-merged) noise model; ``ts``/``ts_prev``
+    are the descending timestep arrays.  Shared by the SD and SDXL
+    pipelines so sampler updates live in exactly one place.
+    """
+    pairs = (jnp.asarray(ts), jnp.asarray(ts_prev))
+    if sampler == "ddim":
+
+        def body(lat, tp):
+            t, t_prev = tp
+            return ddim_step(schedule, lat, unet_eps(lat, t), t, t_prev), None
+
+        lat, _ = jax.lax.scan(body, latents, pairs)
+        return lat
+    if sampler == "pndm":
+        init, step = pndm_init(latents.shape, latents.dtype), pndm_step
+    elif sampler == "dpm++":
+        init, step = dpmpp_init(latents.shape, latents.dtype), dpmpp_step
+    else:
+        raise ValueError(f"unknown sampler {sampler!r}")
+
+    def body(carry, tp):
+        lat, st = carry
+        t, t_prev = tp
+        st, lat = step(schedule, st, lat, unet_eps(lat, t), t, t_prev)
+        return (lat, st), None
+
+    (lat, _), _ = jax.lax.scan(body, (latents, init), pairs)
+    return lat
+
+
 class PNDMState(NamedTuple):
     """Rolling eps history for the PNDM linear multistep region."""
 

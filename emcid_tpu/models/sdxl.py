@@ -163,46 +163,10 @@ def sample_latents_sdxl(
                 eps_u, eps_c = jnp.split(eps2, 2, axis=0)
                 return eps_u + g * (eps_c - eps_u)
 
-            if sampler == "ddim":
-                def body(lat, t_pair):
-                    t, t_prev = t_pair
-                    eps = unet_eps(lat, t)
-                    return ddim_step(schedule, lat, eps, t, t_prev), None
+            from emcid_tpu.models.scheduler import scan_sampler
 
-                lat, _ = jax.lax.scan(
-                    body, latents, (jnp.asarray(ts), jnp.asarray(ts_prev))
-                )
-            elif sampler == "pndm":
-                from emcid_tpu.models.scheduler import pndm_init, pndm_step
-
-                def body(carry, t_pair):
-                    lat, st = carry
-                    t, t_prev = t_pair
-                    eps = unet_eps(lat, t)
-                    st, lat = pndm_step(schedule, st, lat, eps, t, t_prev)
-                    return (lat, st), None
-
-                (lat, _), _ = jax.lax.scan(
-                    body, (latents, pndm_init(latents.shape, latents.dtype)),
-                    (jnp.asarray(ts), jnp.asarray(ts_prev)),
-                )
-            elif sampler == "dpm++":
-                from emcid_tpu.models.scheduler import dpmpp_init, dpmpp_step
-
-                def body(carry, t_pair):
-                    lat, st = carry
-                    t, t_prev = t_pair
-                    eps = unet_eps(lat, t)
-                    st, lat = dpmpp_step(schedule, st, lat, eps, t, t_prev)
-                    return (lat, st), None
-
-                (lat, _), _ = jax.lax.scan(
-                    body, (latents, dpmpp_init(latents.shape, latents.dtype)),
-                    (jnp.asarray(ts), jnp.asarray(ts_prev)),
-                )
-            else:
-                raise ValueError(f"unknown sampler {sampler!r}")
-            return lat
+            return scan_sampler(sampler, schedule, unet_eps, latents,
+                                ts, ts_prev)
 
         _SDXL_SAMPLER_CACHE[key] = run
     return _SDXL_SAMPLER_CACHE[key](

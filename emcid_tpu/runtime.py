@@ -38,11 +38,14 @@ def setup_compilation_cache() -> None:
         # cache (cross-machine CPU AOT entries trip feature-mismatch loads)
         platform = os.environ.get("JAX_PLATFORMS", "default").split(",")[0]
         subdir = platform or "default"
-        if subdir in ("cpu", "default"):
+        if subdir == "cpu":
             # CPU AOT code is host-ISA-specific: a cache dir carried to a
             # machine with different CPU features loads with "could lead to
             # SIGILL" warnings and subtly different codegen — key the dir on
-            # the host's feature set
+            # the host's feature set.  "default" (usually the TPU backend)
+            # stays un-fingerprinted: device executables are not
+            # host-ISA-specific, and fingerprinting there would orphan the
+            # cache whenever the *client* host changes.
             subdir = f"{subdir}-{_host_fingerprint()}"
         cache_dir = os.path.join(
             os.environ.get("EMCID_TPU_CACHE",

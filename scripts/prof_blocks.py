@@ -36,6 +36,10 @@ def main():
                    (512, 4096), (1024, 1024), (128, 4096), (256, 4096)]:
         os.environ["EMCID_TPU_FLASH_BQ"] = str(bq)
         os.environ["EMCID_TPU_FLASH_BK"] = str(bk)
+        # the backward kernels read their own knobs — sweep them in lockstep
+        # so the fwd+bwd column actually varies with the row
+        os.environ["EMCID_TPU_FLASH_BQ_BWD"] = str(bq)
+        os.environ["EMCID_TPU_FLASH_BK_BWD"] = str(bk)
 
         def fwd(q, k, v):
             return flash_attention_v2(q, k, v, D**-0.5).astype(
