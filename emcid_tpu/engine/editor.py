@@ -97,7 +97,10 @@ def compute_zs_for_requests(
     requests: Sequence[Dict],
     hparams,
     cache_name: Optional[str] = None,
-    block_size: int = 32,
+    # measured sweet spot on a 16 GB v5e at SD shapes: C=8 is the largest
+    # block whose remat="none" residuals fit HBM; bigger blocks trip the
+    # remat="full" fallback (+~33%/step).  See PERF.md "HBM footprint".
+    block_size: int = 8,
     rng_seed: int = 0,
     num_inference_steps: int = 50,
     fim: Optional[np.ndarray] = None,
@@ -266,7 +269,7 @@ def apply_emcid(
     cache_name: Optional[str] = None,
     stats_dir=None,
     stats_captions: Optional[Sequence[str]] = None,
-    block_size: int = 32,
+    block_size: int = 8,
     solve_method: str = "f32_ir",
     num_inference_steps: int = 50,
     mesh=None,
