@@ -70,6 +70,21 @@ def test_dpmpp_second_order_tracks_curved_x0():
     np.testing.assert_allclose(np.asarray(lat), final, rtol=0.05, atol=0.05)
 
 
+def test_sdxl_sampler_dispatch_runs():
+    from emcid_tpu.models.sdxl import build_tiny_sdxl_pipeline, generate_sdxl
+
+    comps = build_tiny_sdxl_pipeline()
+    outs = {}
+    for s in ("ddim", "pndm", "dpm++"):
+        outs[s] = generate_sdxl(
+            comps, ["a w1"], [0], num_inference_steps=3,
+            guidance_scale=5.0, height=32, width=32, sampler=s,
+        )
+        assert outs[s].shape == (1, 32, 32, 3)
+    # different solvers must actually produce different trajectories
+    assert not np.array_equal(outs["ddim"], outs["dpm++"])
+
+
 def test_pipeline_dpmpp_sampler_runs():
     from emcid_tpu.models.loader import build_tiny_pipeline
     from emcid_tpu.models.pipeline import generate
