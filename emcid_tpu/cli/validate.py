@@ -162,19 +162,28 @@ def validate_against_goldens(components, goldens, rtol=None,
 
 
 def cmd_validate(args):
+    import sys
+
     from emcid_tpu.models.loader import build_tiny_pipeline, load_pipeline
 
     if args.tiny:
         comps = build_tiny_pipeline(seed=args.seed)
-    else:
+    elif args.checkpoint_dir:
         import jax.numpy as jnp
 
         comps = load_pipeline(args.checkpoint_dir,
                               dtype=jnp.float32 if args.f32 else jnp.bfloat16)
+    else:
+        sys.exit("validate: pass --checkpoint_dir (local HF checkpoint) "
+                 "or --tiny")
     if args.make_self_goldens:
         make_self_goldens(comps, args.make_self_goldens)
         print(f"self-goldens written to {args.make_self_goldens}")
         return
+    if not args.goldens:
+        sys.exit("validate: pass --goldens goldens.npz (generate one with "
+                 "scripts/make_goldens_torch.py in a diffusers environment, "
+                 "or --make_self_goldens PATH for a regression baseline)")
     validate_against_goldens(
         comps, args.goldens,
         rtol=(1e-4 if args.f32 else None),
@@ -182,14 +191,23 @@ def cmd_validate(args):
     )
 
 
+# open_clip vision towers whose head count is NOT width//64 (head_width
+# 80 for ViT-H-14, 104 for ViT-bigG-14) — keyed by tower width
+_OPENCLIP_VISION_HEADS = {1280: 16, 1664: 16}
+
+
 def validate_openclip(checkpoint, goldens, rtol=2e-3, atol=2e-3,
+                      act: str = "gelu", vision_heads: Optional[int] = None,
                       verbose: bool = True) -> Dict[str, float]:
     """Compare the open_clip converters against goldens from
     scripts/make_goldens_openclip.py (a REAL open_clip checkpoint run
     through the original torch implementation — ADVICE round-1 item).
 
     Text heads default to hidden//64 (open_clip's convention for the CLIP
-    families, incl. bigG's 1280/64=20)."""
+    families, incl. bigG's 1280/64=20); vision heads use a known-width
+    table for the head_width!=64 towers (ViT-H-14, ViT-bigG-14) with
+    ``vision_heads`` as the explicit override.  ``act='quick_gelu'`` for
+    OpenAI-pretrained checkpoints."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -221,7 +239,7 @@ def validate_openclip(checkpoint, goldens, rtol=2e-3, atol=2e-3,
     cfg = CLIPTextConfig(
         vocab_size=vocab, hidden_size=H, intermediate_size=inter,
         num_hidden_layers=L, num_attention_heads=H // 64,
-        max_position_embeddings=ctx, hidden_act="gelu",
+        max_position_embeddings=ctx, hidden_act=act,
         projection_dim=proj, eos_token_id=vocab - 1,
     )
     text = CLIPTextEncoder(cfg)
@@ -247,12 +265,14 @@ def validate_openclip(checkpoint, goldens, rtol=2e-3, atol=2e-3,
         Lv = 0
         while f"visual.transformer.resblocks.{Lv}.attn.in_proj_weight" in vsd:
             Lv += 1
+        heads_v = (vision_heads if vision_heads is not None
+                   else _OPENCLIP_VISION_HEADS.get(Hv, Hv // 64))
         vcfg = CLIPVisionConfig(
             hidden_size=Hv, num_hidden_layers=Lv,
-            num_attention_heads=Hv // 64, intermediate_size=interv,
+            num_attention_heads=heads_v, intermediate_size=interv,
             image_size=int(g["image_size"]), patch_size=patch,
             projection_dim=vsd["visual.proj"].shape[1],
-            hidden_act="gelu",
+            hidden_act=act,
         )
         vision = CLIPVisionEncoder(vcfg)
         vparams = openclip_vision_from_torch(vsd)

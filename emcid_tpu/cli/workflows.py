@@ -384,6 +384,11 @@ def main(argv=None):
                    help="open_clip torch state_dict (.bin/.pt)")
     p.add_argument("--goldens", required=True,
                    help="npz from scripts/make_goldens_openclip.py")
+    p.add_argument("--act", default="gelu", choices=["gelu", "quick_gelu"],
+                   help="quick_gelu for OpenAI-pretrained checkpoints")
+    p.add_argument("--vision_heads", type=int, default=None,
+                   help="override vision-tower head count (head_width!=64 "
+                   "models outside the known-width table)")
 
     p = sub.add_parser("coco")
     _add_common(p)
@@ -430,7 +435,9 @@ def main(argv=None):
     elif args.cmd == "validate_openclip":
         from emcid_tpu.cli.validate import validate_openclip
 
-        validate_openclip(args.checkpoint, args.goldens)
+        validate_openclip(args.checkpoint, args.goldens,
+                          act=args.act,
+                          vision_heads=args.vision_heads)
     elif args.cmd == "validate":
         from emcid_tpu.cli.validate import cmd_validate
 

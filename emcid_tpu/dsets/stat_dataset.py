@@ -186,9 +186,11 @@ def download_sub(data_path="./data/ccs_filtered.json", random_seed=2023,
 
     missing = [idx for idx in indices if not fetch(data[idx], idx)]
     if missing:
+        why = ("allow_network=False" if not allow_network
+               else "downloads/resampling exhausted")
         raise RuntimeError(
             f"{len(missing)} sampled images unavailable (first: "
-            f"{cache_dir}/{missing[0]}.jpg) and allow_network=False"
+            f"{cache_dir}/{missing[0]}.jpg); {why}"
         )
     with open(out_path, "w") as f:
         json.dump(sub_data, f, indent=4)

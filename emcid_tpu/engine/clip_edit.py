@@ -25,7 +25,6 @@ from emcid_tpu.engine.emcid import (
     save_z_cache,
 )
 from emcid_tpu.engine.layer_stats import get_cov_text_encoder
-from emcid_tpu.globals_cfg import STATS_DIR
 
 
 def execute_emcid_clip(
@@ -65,38 +64,13 @@ def execute_emcid_clip(
         zs = zs[:, None, :]
 
     if covs is None:
-        covs = []
-        for layer in hparams.layers:
-            layer_name = hparams.rewrite_module_tmp.format(layer)
-            try:
-                C = get_cov_text_encoder(
-                    text_model, text_params, tokenizer, layer_name,
-                    mom2_dataset=hparams.mom2_dataset,
-                    mom2_n_samples=hparams.mom2_n_samples,
-                    mom2_dtype=hparams.mom2_dtype,
-                    stat_dir=stats_dir or STATS_DIR,
-                    captions=stats_captions, model_name=model_name,
-                    verbose=verbose,
-                )
-            except FileNotFoundError:
-                from emcid_tpu.dsets.stat_dataset import (
-                    make_synthetic_captions,
-                )
+        from emcid_tpu.engine.editor import resolve_covariances_for
 
-                if verbose:
-                    print(f"[emcid_tpu] no stats cache for {model_name} @ "
-                          f"{layer_name} — synthetic-caption fallback")
-                C = get_cov_text_encoder(
-                    text_model, text_params, tokenizer, layer_name,
-                    mom2_dataset="synthetic",
-                    mom2_n_samples=min(hparams.mom2_n_samples, 2000),
-                    mom2_dtype=hparams.mom2_dtype,
-                    stat_dir=stats_dir or STATS_DIR,
-                    captions=make_synthetic_captions(
-                        min(hparams.mom2_n_samples, 2000)),
-                    model_name=model_name, verbose=verbose,
-                )
-            covs.append(C)
+        covs = resolve_covariances_for(
+            text_model, text_params, tokenizer, hparams,
+            stats_dir=stats_dir, captions=stats_captions,
+            model_name=model_name, verbose=verbose,
+        )
 
     return execute_emcid_text_encoder(
         text_model, text_params, tokenizer, requests, hparams,

@@ -38,29 +38,35 @@ from emcid_tpu.globals_cfg import STATS_DIR
 from emcid_tpu.models.pipeline import SDComponents
 
 
-def resolve_covariances(
-    components: SDComponents,
+def resolve_covariances_for(
+    text_encoder,
+    text_params,
+    tokenizer,
     hparams,
     stats_dir=None,
     captions: Optional[Sequence[str]] = None,
     allow_synthetic: bool = True,
     mesh=None,
+    model_name: str = "text_encoder",
     verbose: bool = True,
 ) -> List[jnp.ndarray]:
-    """Per-layer second moments: cache → provided captions → synthetic."""
+    """Per-layer second moments: cache → provided captions → synthetic.
+
+    Model-level entry shared by the SD pipeline edit (``resolve_covariances``)
+    and the bare CLIP-model edit (engine.clip_edit)."""
     covs = []
     for layer in hparams.layers:
         layer_name = hparams.rewrite_module_tmp.format(layer)
         try:
             C = get_cov_text_encoder(
-                components.text_encoder, components.text_params,
-                components.tokenizer, layer_name,
+                text_encoder, text_params, tokenizer, layer_name,
                 mom2_dataset=hparams.mom2_dataset,
                 mom2_n_samples=hparams.mom2_n_samples,
                 mom2_dtype=hparams.mom2_dtype,
                 stat_dir=stats_dir or STATS_DIR,
                 captions=captions,
                 mesh=mesh,
+                model_name=model_name,
                 verbose=verbose,
             )
         except FileNotFoundError:
@@ -76,8 +82,7 @@ def resolve_covariances(
             from emcid_tpu.dsets.stat_dataset import make_synthetic_captions
 
             C = get_cov_text_encoder(
-                components.text_encoder, components.text_params,
-                components.tokenizer, layer_name,
+                text_encoder, text_params, tokenizer, layer_name,
                 mom2_dataset="synthetic",
                 mom2_n_samples=min(hparams.mom2_n_samples, 2000),
                 mom2_dtype=hparams.mom2_dtype,
@@ -86,10 +91,29 @@ def resolve_covariances(
                     min(hparams.mom2_n_samples, 2000)
                 ),
                 mesh=mesh,
+                model_name=model_name,
                 verbose=verbose,
             )
         covs.append(C)
     return covs
+
+
+def resolve_covariances(
+    components: SDComponents,
+    hparams,
+    stats_dir=None,
+    captions: Optional[Sequence[str]] = None,
+    allow_synthetic: bool = True,
+    mesh=None,
+    verbose: bool = True,
+) -> List[jnp.ndarray]:
+    """Per-layer second moments for a pipeline's text encoder."""
+    return resolve_covariances_for(
+        components.text_encoder, components.text_params,
+        components.tokenizer, hparams, stats_dir=stats_dir,
+        captions=captions, allow_synthetic=allow_synthetic, mesh=mesh,
+        verbose=verbose,
+    )
 
 
 def compute_zs_for_requests(
@@ -169,21 +193,35 @@ def compute_zs_for_requests(
         for start in range(0, len(missing), block_size):
             idxs = missing[start:start + block_size]
             block = [requests[i] for i in idxs]
-            # pad every block (incl. a short first one: an odd shape costs a
-            # full XLA compile — minutes on a remote TPU); padded results are
-            # dropped
-            pad = block_size - len(block)
+            # multi-block runs pad every block to block_size so ONE compiled
+            # shape serves all of them (an odd tail shape costs a full XLA
+            # compile — minutes on a remote TPU); a run that fits in a
+            # single block keeps its exact size — benchmark loops that edit
+            # one request at a time (road/timed restore cycles) would
+            # otherwise pay block_size× the image generation for nothing
+            target = block_size if len(missing) > block_size else len(block)
+            if mesh is not None:
+                from emcid_tpu.parallel import pad_to_multiple
+
+                target = pad_to_multiple(target, mesh.devices.size)
+            pad = target - len(block)
             if pad:
                 block = block + [block[-1]] * pad
             t0 = time.time()
             dest_img_emb = tia_w = None
             if tia_active:
-                # v1 path: train ablate-dest on DEST-prompt images and CLIP-
-                # embed them as the image-side alignment target
+                # v1 path: concepts whose request carries txt_img_align
+                # train ablate-dest on DEST-prompt images (reference
+                # compute_z.py:1440-1446); unflagged concepts in the same
+                # block keep the main path's SOURCE images — the flag list
+                # is per-request, not block-wide
                 mean, logvar, imgs = training_latents_for_requests(
                     components, block, hparams, height=res, width=res,
                     num_inference_steps=num_inference_steps, mesh=mesh,
-                    use_dest_prompts=True, return_images=True,
+                    use_dest_prompts=[
+                        bool(r.get("txt_img_align")) for r in block
+                    ],
+                    return_images=True,
                     verbose=verbose,
                 )
                 from emcid_tpu.models.vision import (

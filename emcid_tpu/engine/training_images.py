@@ -135,7 +135,7 @@ def training_latents_for_requests(
     guidance_scale: float = 7.5,
     batch_size: Optional[int] = None,
     mesh=None,
-    use_dest_prompts: bool = False,
+    use_dest_prompts=False,  # bool or per-request sequence of bools
     return_images: bool = False,
     verbose: bool = False,
 ):
@@ -148,11 +148,18 @@ def training_latents_for_requests(
     ``use_dest_prompts`` generates from the dest-formatted prompts instead —
     the reference's v1/txt_img_align path trains ablate-dest on DEST images
     (compute_z.py:1440-1446) while the main path uses source images (:397-409).
+    A sequence of bools selects per request (mixed blocks where only some
+    requests carry the txt_img_align flag).
     ``return_images`` additionally returns the [-1, 1] images
     (C*Simg*P, H, W, 3) for CLIP scoring.
     """
     Simg = getattr(hparams, "samples_per_prompt", 1)
     P = len(requests[0]["prompts"])
+    if isinstance(use_dest_prompts, bool):
+        use_dest = [use_dest_prompts] * len(requests)
+    else:
+        use_dest = list(use_dest_prompts)
+        assert len(use_dest) == len(requests)
 
     gen_prompts: List[str] = []
     gen_seeds: List[int] = []
@@ -160,7 +167,7 @@ def training_latents_for_requests(
     loaded: Dict[Tuple[int, int, int], np.ndarray] = {}
 
     for c, request in enumerate(requests):
-        word = request["dest"] if use_dest_prompts else request["source"]
+        word = request["dest"] if use_dest[c] else request["source"]
         src_prompts = [p.format(word) for p in request["prompts"]]
         imgs = None
         if "training_img_paths" in request:

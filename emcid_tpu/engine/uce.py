@@ -107,6 +107,18 @@ def _aligned_context_rows(
     return old_rows.astype(jnp.float32), new_rows.astype(jnp.float32)
 
 
+@jax.jit
+def _uce_solve_all(mat2, mat1_stack):
+    """Shared UCE normal-equation solver: one Cholesky of mat2, batched
+    cho_solve over stacked right-hand sides (W_new^T per projection).
+    Module-level so repeated calls (and debias iterations) reuse one
+    compiled program instead of re-jitting per call site."""
+    L = jax.scipy.linalg.cholesky(mat2, lower=True)
+    return jax.vmap(
+        lambda b: jax.scipy.linalg.cho_solve((L, True), b)
+    )(jnp.swapaxes(mat1_stack, -1, -2))
+
+
 def edit_model_uce(
     components: SDComponents,
     old_texts: Sequence[str],
@@ -189,7 +201,7 @@ def edit_model_uce(
         by_dim.setdefault(weights[n].shape[0], []).append(n)
     for dim, names in by_dim.items():
         stack = jnp.stack([mat1[n] for n in names])
-        solved = solve_all(mat2, stack)  # (L, in, out)
+        solved = _uce_solve_all(mat2, stack)  # (L, in, out)
         for i, n in enumerate(names):
             new_params = set_unet_weight(new_params, n, solved[i].T)
     return components.replace_unet_params(new_params)
@@ -383,6 +395,20 @@ def edit_model_debias(
     edited = components
     init_ratios = ratios = None
     prev_ratio = ratio_diff = None
+    # text-encoder outputs are NEVER edited by UCE (only unet cross-attn
+    # projections), so the context rows are loop constants — encode once
+    concept_rows = [
+        _aligned_rows_multi(components, old_text, classes)
+        for old_text, classes in zip(old_texts, fmt_new)
+    ]
+    retain_rows: Dict[str, jnp.ndarray] = {}
+
+    def rows_for(text):
+        if text not in retain_rows:
+            retain_rows[text] = encode_prompts(
+                components, [text])[0].astype(jnp.float32)
+        return retain_rows[text]
+
     for it in range(max_iters):
         ratios = debias_ratios(
             edited, scorer, old_texts, fmt_new,
@@ -417,8 +443,7 @@ def edit_model_debias(
         ctx_dim = next(iter(cur.values())).shape[1]
         mat1 = {n: lamb * w for n, w in cur.items()}
         mat2 = lamb * jnp.eye(ctx_dim, dtype=jnp.float32)
-        for cnt, (old_text, classes) in enumerate(zip(old_texts, fmt_new)):
-            c, class_rows = _aligned_rows_multi(edited, old_text, classes)
+        for cnt, (c, class_rows) in enumerate(concept_rows):
             mat2 = mat2 + erase_scale * c.T @ c
             for n, w in cur.items():
                 o = c @ w.T  # (rows, out)
@@ -430,25 +455,18 @@ def edit_model_debias(
                     v = v + (float(weights[cnt][j]) * o_norm) * u
                 mat1[n] = mat1[n] + erase_scale * v.T @ c
         for text in ret_texts:
-            rows = encode_prompts(edited, [text])[0].astype(jnp.float32)
+            rows = rows_for(text)
             mat2 = mat2 + preserve_scale * rows.T @ rows
             for n, w in cur.items():
                 v = rows @ w.T
                 mat1[n] = mat1[n] + preserve_scale * v.T @ rows
-
-        @jax.jit
-        def solve_all(mat2, mat1_stack):
-            L = jax.scipy.linalg.cholesky(mat2, lower=True)
-            return jax.vmap(
-                lambda b: jax.scipy.linalg.cho_solve((L, True), b)
-            )(jnp.swapaxes(mat1_stack, -1, -2))
 
         new_params = params
         by_dim: Dict[int, List[str]] = {}
         for n in proj_names:
             by_dim.setdefault(cur[n].shape[0], []).append(n)
         for dim, names in by_dim.items():
-            solved = solve_all(mat2, jnp.stack([mat1[n] for n in names]))
+            solved = _uce_solve_all(mat2, jnp.stack([mat1[n] for n in names]))
             for i, n in enumerate(names):
                 new_params = set_unet_weight(new_params, n, solved[i].T)
         edited = edited.replace_unet_params(new_params)

@@ -314,7 +314,12 @@ class NativeBlipScorer:
 
         px = preprocess_for_model(images, self.model.vision_config.image_size,
                                   CLIP_IMAGE_MEAN, CLIP_IMAGE_STD)
-        enc = self.tokenizer([self.prefix + t for t in texts], padding=True)
+        # truncate like the HF processor seam — a >max_position text would
+        # otherwise break the positional-embedding broadcast inside jit
+        enc = self.tokenizer(
+            [self.prefix + t for t in texts], padding=True, truncation=True,
+            max_length=self.model.text_config.max_position_embeddings,
+        )
         ids = jnp.asarray(enc["input_ids"])
         mask = jnp.asarray(enc["attention_mask"], jnp.float32)
         return np.asarray(self._jit(self.params, px, ids, mask))

@@ -129,3 +129,29 @@ def test_editor_tia_inactive_without_flag(comps):
     zs = compute_zs_for_requests(comps, reqs, hp, num_inference_steps=2,
                                  verbose=False)
     assert zs.shape[0] == 1
+
+
+def test_mixed_block_keeps_source_images_for_unflagged(comps):
+    """In a block where only some requests carry txt_img_align, the
+    unflagged requests must train on SOURCE-prompt images (main path),
+    not the flagged requests' dest images."""
+    from emcid_tpu.engine.training_images import training_latents_for_requests
+
+    reqs = [
+        {"prompts": ["a photo of {}"], "source": "w1", "dest": "w2",
+         "seed_train": 1, "txt_img_align": True},
+        {"prompts": ["a photo of {}"], "source": "w3", "dest": "w4",
+         "seed_train": 2},
+    ]
+    hp = type("HP", (), {"samples_per_prompt": 1})()
+    kw = dict(height=16, width=16, num_inference_steps=2, verbose=False)
+    mixed_m, _ = training_latents_for_requests(
+        comps, reqs, hp, use_dest_prompts=[True, False], **kw)
+    src_m, _ = training_latents_for_requests(
+        comps, reqs, hp, use_dest_prompts=False, **kw)
+    dest_m, _ = training_latents_for_requests(
+        comps, reqs, hp, use_dest_prompts=True, **kw)
+    # flagged request: dest images; unflagged: source images
+    np.testing.assert_array_equal(mixed_m[0], dest_m[0])
+    np.testing.assert_array_equal(mixed_m[1], src_m[1])
+    assert not np.array_equal(mixed_m[1], dest_m[1])
