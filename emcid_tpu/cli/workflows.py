@@ -42,6 +42,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--stats_dir", default=None)
     p.add_argument("--steps", type=int, default=50,
                    help="sampler inference steps")
+    p.add_argument("--sampler", default="pndm",
+                   choices=["pndm", "ddim", "dpm++"],
+                   help="pndm = reference SD default; dpm++ reaches "
+                   "PNDM-50 quality in 20-25 steps")
     p.add_argument("--seed", type=int, default=42)
 
 
@@ -77,6 +81,7 @@ def _setup(args):
         gen_kwargs = dict(num_inference_steps=args.steps, height=512, width=512)
     else:
         raise SystemExit("no model source: --checkpoint_dir / --random-init / --tiny")
+    gen_kwargs["sampler"] = getattr(args, "sampler", "pndm")
     return comps, hparams, gen_kwargs
 
 
