@@ -54,7 +54,12 @@ def main():
 
     n_concepts = int(os.environ.get("BENCH_CONCEPTS", 8))
     grad_steps = int(os.environ.get("BENCH_GRAD_STEPS", 100))
-    gen_steps = int(os.environ.get("BENCH_GEN_STEPS", 50))
+    # product defaults (engine.editor): training images via DPM++(2M) at 25
+    # steps (PNDM-50 quality, tests/test_train_sampler.py guard) and the
+    # K=25 eps_dest pool (tests/test_eps_pool.py guard)
+    gen_steps = int(os.environ.get("BENCH_GEN_STEPS", 25))
+    gen_sampler = os.environ.get("BENCH_SAMPLER", "dpm++")
+    eps_pool = int(os.environ.get("BENCH_EPS_POOL", 25))
     n_prompts = 3
     latent_hw = 64  # 512x512 images
 
@@ -122,11 +127,12 @@ def main():
         mean, logvar = generate_posteriors(
             comps, prompts, seeds, batch_size=len(prompts),
             num_inference_steps=gen_steps, guidance_scale=7.5,
-            height=512, width=512, sampler="pndm")
+            height=512, width=512, sampler=gen_sampler)
         return (mean.reshape(n_concepts, 1, n_prompts, latent_hw, latent_hw, 4),
                 logvar.reshape(n_concepts, 1, n_prompts, latent_hw, latent_hw, 4))
 
-    optz = ZOptimizer(text, unet, sched, hp, layer=hp.layers[-1])
+    optz = ZOptimizer(text, unet, sched, hp, layer=hp.layers[-1],
+                      eps_pool=eps_pool)
 
     def stage1_phase(mean, logvar):
         arrays, _, _ = prepare_concept_batch(tok, requests, hp)
@@ -172,14 +178,17 @@ def main():
 
     s1 = StepReport(t_stage1, grad_steps,
                     stage1_step_flops(unet.config, n_concepts, n_prompts,
-                                      remat=optz.remat))
+                                      remat=optz.remat,
+                                      eps_dest_pooled=bool(optz.eps_pool)))
     gen_flops = (unet_fwd_flops(unet.config, 2 * len(prompts)) * gen_steps)
     print(json.dumps({
         "metric": (
             f"EMCID full edit-path throughput, SD-v1.4 shapes, "
             f"{n_concepts} concepts x {grad_steps} z-steps, 1 chip "
-            f"(imagegen {t_gen:.1f}s @ {gen_flops / t_gen / 1e12:.0f} TFLOP/s"
-            f" + stage1 {t_stage1:.1f}s @ {s1} + stage2 {t_stage2:.1f}s)"
+            f"(imagegen[{gen_sampler}-{gen_steps}] {t_gen:.1f}s @ "
+            f"{gen_flops / t_gen / 1e12:.0f} TFLOP/s"
+            f" + stage1[pool={eps_pool}] {t_stage1:.1f}s @ {s1}"
+            f" + stage2 {t_stage2:.1f}s)"
         ),
         "value": round(rate, 4),
         "unit": "concepts/s",

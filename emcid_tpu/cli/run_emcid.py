@@ -73,8 +73,10 @@ def _main_sdxl(args, instruction, hparams, requests, mom2_weight,
             "(HF-format SDXL dir conversion lands with the bigG converter)"
         )
 
+    # SDXL family default is DDIM (sample_latents_sdxl's own default);
+    # --sampler overrides explicitly
     gen_kwargs = dict(num_inference_steps=steps, height=res, width=res,
-                      sampler=getattr(args, "sampler", "ddim"))
+                      sampler=args.sampler or "ddim")
     names, prompts, seeds = [], [], []
     for i, vp in enumerate(val_prompts):
         for s in range(sample_num):
@@ -120,14 +122,18 @@ def main(argv=None):
                         help="z-vector cache directory")
     parser.add_argument("--steps", type=int, default=50,
                         help="sampler inference steps")
-    parser.add_argument("--sampler", default="pndm",
+    parser.add_argument("--sampler", default=None,
                         choices=["pndm", "ddim", "dpm++"],
-                        help="pndm = reference SD default; dpm++ reaches "
-                        "PNDM-50 quality in 20-25 steps")
+                        help="default resolves per model family (pndm for "
+                        "SD — the reference default — ddim for SDXL); "
+                        "dpm++ reaches PNDM-50 quality in 20-25 steps")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                         help="force a jax platform (tiny smoke runs are "
                         "faster on cpu: remote TPU compiles dominate)")
+    parser.add_argument("--no-mesh", action="store_true",
+                        help="disable the default device mesh (multi-device "
+                        "hosts shard generation and Stage-1 automatically)")
     args = parser.parse_args(argv)
 
     if args.platform == "cpu" or (args.tiny and args.platform is None):
@@ -193,8 +199,13 @@ def main(argv=None):
             "--random-init, or --tiny (no hub access in this build)"
         )
 
+    from emcid_tpu.parallel import default_mesh
+
+    mesh = default_mesh(disable=args.no_mesh)
+    if mesh is not None:
+        print(f"[run_emcid] data mesh over {mesh.devices.size} devices")
     gen_kwargs = dict(num_inference_steps=steps, height=res, width=res,
-                      sampler=args.sampler)
+                      sampler=args.sampler or "pndm", mesh=mesh)
     names, prompts, seeds = [], [], []
     for i, vp in enumerate(val_prompts):
         for s in range(sample_num):
@@ -214,7 +225,7 @@ def main(argv=None):
         comps, requests, hparams,
         mom2_weight=mom2_weight, edit_weight=edit_weight,
         cache_name=cache_name, stats_dir=args.stats_dir,
-        num_inference_steps=steps,
+        num_inference_steps=steps, mesh=mesh,
     )
 
     if prompts:

@@ -192,8 +192,13 @@ def cmd_validate(args):
 
 
 # open_clip vision towers whose head count is NOT width//64 (head_width
-# 80 for ViT-H-14, 104 for ViT-bigG-14) — keyed by tower width
-_OPENCLIP_VISION_HEADS = {1280: 16, 1664: 16}
+# 80 for ViT-H-14, 104 for ViT-bigG-14, 88 for ViT-g-14) — keyed by
+# tower width
+_OPENCLIP_VISION_HEADS = {1280: 16, 1664: 16, 1408: 16}
+# widths where width//64 IS the right head count (ViT-B/L families) — any
+# other width falls back to width//64 with a warning so a heads mismatch
+# is diagnosable instead of a confusing golden failure
+_OPENCLIP_HEADS_BY_64 = {512, 640, 768, 896, 1024}
 
 
 def validate_openclip(checkpoint, goldens, rtol=2e-3, atol=2e-3,
@@ -267,6 +272,13 @@ def validate_openclip(checkpoint, goldens, rtol=2e-3, atol=2e-3,
             Lv += 1
         heads_v = (vision_heads if vision_heads is not None
                    else _OPENCLIP_VISION_HEADS.get(Hv, Hv // 64))
+        if (vision_heads is None and Hv not in _OPENCLIP_VISION_HEADS
+                and Hv not in _OPENCLIP_HEADS_BY_64):
+            print(f"[validate_openclip] WARNING: vision width {Hv} is not "
+                  f"in the known-heads table; assuming {Hv // 64} heads "
+                  "(width//64). If the tower uses head_width != 64 pass "
+                  "--vision_heads explicitly — a wrong head count shows up "
+                  "as a large image_embeds golden mismatch.")
         vcfg = CLIPVisionConfig(
             hidden_size=Hv, num_hidden_layers=Lv,
             num_attention_heads=heads_v, intermediate_size=interv,

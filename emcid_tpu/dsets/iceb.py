@@ -16,6 +16,8 @@ import random
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 
+import numpy as np
+
 from emcid_tpu.globals_cfg import DATA_DIR, EDITING_PROMPTS_CNT
 
 EDIT_PROMPT_TEMPLATES = ["An image of {}", "A photo of {}", "{}"]
@@ -272,6 +274,74 @@ def compose_alias_test_requests(
                 nr["source"] = label
                 new_requests.append(nr)
     return new_requests
+
+
+class CustomObjectRequestDataset(_ListDataset):
+    """Custom-object (DreamBooth-style) requests from a directory of
+    per-object image folders (reference iceb_dataset.py:213-265).
+
+    Layout: ``{data_dir}/{dataset_dir}/{object_name}/*.jpg`` plus a
+    ``prompts_and_classes.txt`` file with ``object_name, class name`` rows.
+    Each folder becomes one request: source = the class name looked up in
+    the txt file, dest = the folder name, first ``batch_size`` images as
+    ``training_img_paths`` (the torch-free real-image Stage-1 mode), and
+    the ``txt_img_align`` flag set (these edits use the image-side
+    alignment objective, reference v1 path)."""
+
+    def __init__(self, data_dir=None, dataset_dir="dream_booth_dataset",
+                 batch_size: int = 3):
+        root = Path(data_dir or DATA_DIR) / dataset_dir
+        if not root.exists():
+            raise FileNotFoundError(f"File {root} does not exist.")
+        self.requests = []
+        for name in sorted(p.name for p in root.iterdir() if p.is_dir()):
+            files = sorted(p for p in (root / name).iterdir()
+                           if p.is_file())[:batch_size]
+            self.requests.append({
+                "source": self._find_source_name(root, name),
+                "dest": name,
+                "prompts": ["an image of {}", "a photo of {}",
+                            "{}, a picture"],
+                "seed": 37,
+                "seed_train": 37,
+                "training_img_paths": [str(p) for p in files],
+                "txt_img_align": True,
+            })
+
+    @staticmethod
+    def _find_source_name(root: Path, dest_name: str) -> str:
+        with open(root / "prompts_and_classes.txt") as f:
+            for line in f:
+                if dest_name in line:
+                    return line.split(",")[1].strip()
+        raise ValueError(f"Cannot find source name for dest {dest_name}.")
+
+
+def get_filtered_dataset(
+    data_file="imgnet_prompts_aug.json",
+    out_file=None,
+    data_dir=None,
+    prompts_per_class: int = 5,
+) -> List[Dict]:
+    """Keep only classes whose ``prompts_per_class`` prompts are all
+    ``checked`` (reference iceb_dataset.py:576-607; dataset-construction
+    utility).  Writes ``out_file`` when given; returns the filtered rows."""
+    ds = ObjectPromptDataset(data_dir=data_dir,
+                             file_name=Path(data_file).name)
+    n_classes = (len(ds) + prompts_per_class - 1) // prompts_per_class
+    cnt = np.full((n_classes,), prompts_per_class)
+    for idx, item in enumerate(ds):
+        if not item.get("checked", False):
+            cnt[idx // prompts_per_class] -= 1
+    full = {i for i in range(n_classes) if cnt[i] == prompts_per_class}
+    new_rows = [item for idx, item in enumerate(ds)
+                if idx // prompts_per_class in full]
+    assert len(new_rows) == len(full) * prompts_per_class
+    if out_file is not None:
+        Path(out_file).parent.mkdir(parents=True, exist_ok=True)
+        with open(out_file, "w") as f:
+            json.dump(new_rows, f, indent=4)
+    return new_rows
 
 
 def requests_to_csv(requests: Sequence[Dict], out_file) -> None:

@@ -53,6 +53,22 @@ from emcid_tpu.models.scheduler import Schedule, add_noise
 from emcid_tpu.text.token_range import find_token_range
 
 
+def _is_hbm_exhausted(e: Exception) -> bool:
+    """True for an XLA RESOURCE_EXHAUSTED (HBM OOM) runtime error.
+
+    Prefer the typed runtime error (execution / allocation failures are
+    raised as XlaRuntimeError with the status name in the message); fall
+    back to a plain substring so an OOM wrapped by another layer of the
+    tunneled backend still triggers the remat escalation."""
+    try:
+        from jaxlib.xla_extension import XlaRuntimeError
+        if isinstance(e, XlaRuntimeError):
+            return "RESOURCE_EXHAUSTED" in str(e)
+    except ImportError:
+        pass
+    return "RESOURCE_EXHAUSTED" in str(e)
+
+
 class ConceptBatch(NamedTuple):
     """Device arrays for a block of C concepts, P prompts each, T edit tokens."""
 
@@ -159,6 +175,19 @@ class ZOptimizer:
     # (delta, opt_state, rng) carry threaded between executions
     chunk_steps: int = int(os.environ.get("EMCID_TPU_Z_CHUNK", 20))
 
+    # finite eps_dest pool (0 = off): precompute the stop-gradient
+    # eps_dest (and eps_src for esd) UNet forwards over a K-sample
+    # (noise, timestep, image) pool and re-draw pool indices per step,
+    # instead of a fresh eps_dest forward every step.  The per-step cost
+    # drops from 3 to 2 forward-equivalents (eps_dest was 210 ms of the
+    # 782 ms step, PERF.md) at a one-time cost of K forwards.  This is an
+    # ALGORITHMIC deviation from the reference (compute_z.py:493-534
+    # resamples fresh every step): the loss becomes a K·P-sample
+    # Monte-Carlo estimate of the same expectation.  Parity guard:
+    # tests/test_eps_pool.py (tiny-AICE efficacy + z-direction agreement).
+    # Ignored when a record/replay noise_override is supplied.
+    eps_pool: int = int(os.environ.get("EMCID_TPU_EPS_POOL", 0))
+
     # UNet-forward rematerialization policy for the backward pass:
     #   "full" — jax.checkpoint: backward recomputes the whole forward
     #            (lowest memory; +1 forward of FLOPs per step);
@@ -177,6 +206,7 @@ class ZOptimizer:
 
     def __post_init__(self):
         self._run = jax.jit(self._run_impl, static_argnames=("steps",))
+        self._build_pool = jax.jit(self._build_pool_impl)
 
     # -- pieces ------------------------------------------------------------
     def _text_fwd(self, params, ids2d):
@@ -199,6 +229,56 @@ class ZOptimizer:
         )
         return out.last_hidden_state, out.pooled_output, out.taps["layer_out"][self.layer]
 
+    def _build_pool_impl(self, text_params, unet_params, batch: ConceptBatch,
+                         keys: jnp.ndarray):
+        """Precompute the eps_dest (and esd eps_src) pool: for each of the
+        ``keys`` (one per pool entry), sample (image, posterior, noise,
+        timestep) per (concept, prompt) exactly as a fresh step would, run
+        the stop-gradient UNet forward(s) once, and stash
+        (noisy, t, eps_dest[, eps_src]) — shapes (K, C, P, ...)."""
+        hp = self.hparams
+        C, P, S = batch.source_ids.shape
+        H = self.text_model.config.hidden_size
+        n_train_ts = self.schedule.num_train_timesteps
+        flat = lambda x: x.reshape((C * P,) + x.shape[2:])
+
+        dest_hidden, _ = self._text_fwd(text_params, flat(batch.dest_ids))
+        is_esd = hp.objective == "esd"
+        if is_esd:
+            source_hidden, _ = self._text_fwd(text_params,
+                                              flat(batch.source_ids))
+
+        def draw(key, lat_mean, lat_logvar):
+            """One concept's (noisy, t) draw — mirrors concept_loss."""
+            k_img, k_post, k_noise, k_t = jax.random.split(key, 4)
+            Simg = lat_mean.shape[0]
+            img_idx = jax.random.randint(k_img, (P,), 0, Simg)
+            mean = lat_mean[img_idx, jnp.arange(P)]
+            logvar = lat_logvar[img_idx, jnp.arange(P)]
+            latents = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                k_post, mean.shape, mean.dtype)
+            noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+            timesteps = jax.random.randint(k_t, (P,), 0, n_train_ts)
+            return add_noise(self.schedule, latents, noise, timesteps), timesteps
+
+        def entry(carry, key):
+            keys = jax.random.split(key, C)
+            noisy, ts = jax.vmap(draw)(keys, batch.latents_mean,
+                                       batch.latents_logvar)  # (C,P,...)
+            eps_d = self.unet.apply(
+                {"params": unet_params}, flat(noisy), flat(ts), dest_hidden
+            ).sample.reshape(noisy.shape)
+            out = dict(noisy=noisy, t=ts, eps_dest=eps_d)
+            if is_esd:
+                out["eps_src"] = self.unet.apply(
+                    {"params": unet_params}, flat(noisy), flat(ts),
+                    source_hidden
+                ).sample.reshape(noisy.shape)
+            return carry, out
+
+        _, pool = jax.lax.scan(entry, None, keys)
+        return pool  # dict of (K, C, P, ...) arrays
+
     # -- main --------------------------------------------------------------
     def _run_impl(self, text_params, unet_params, batch: ConceptBatch,
                   rng: jnp.ndarray,
@@ -208,7 +288,8 @@ class ZOptimizer:
                   noise_override: Optional[jnp.ndarray] = None,
                   ts_override: Optional[jnp.ndarray] = None,
                   dest_img_emb: Optional[jnp.ndarray] = None,
-                  tia_weight: Optional[jnp.ndarray] = None):
+                  tia_weight: Optional[jnp.ndarray] = None,
+                  pool: Optional[Dict[str, jnp.ndarray]] = None):
         hp = self.hparams
         if dest_img_emb is not None:
             if self.text_projection is None:
@@ -268,21 +349,34 @@ class ZOptimizer:
             src_look = data["src_look"]
             dst_look = data["dst_look"]
             k_img, k_post, k_noise, k_t = jax.random.split(key, 4)
-            # sample image index per prompt (reference compute_z.py:493-496)
-            Simg = lat_mean.shape[0]
-            img_idx = jax.random.randint(k_img, (P,), 0, Simg)
-            mean = lat_mean[img_idx, jnp.arange(P)]
-            logvar = lat_logvar[img_idx, jnp.arange(P)]
-            latents = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
-                k_post, mean.shape, mean.dtype
-            )
-            if noise_override is None:
-                noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
-                timesteps = jax.random.randint(k_t, (P,), 0, n_train_ts)
+            use_pool = "pool_noisy" in data
+            if use_pool:
+                # finite-pool mode: re-draw a pool index per prompt; the
+                # (noisy, t) pair AND its stop-gradient eps_dest come from
+                # the precomputed pool (see eps_pool field)
+                K = data["pool_noisy"].shape[0]
+                pidx = jax.random.randint(k_img, (P,), 0, K)
+                pr = jnp.arange(P)
+                noise = None  # use_sampled_noise never runs pooled
+                timesteps = data["pool_t"][pidx, pr]
+                noisy = data["pool_noisy"][pidx, pr]
             else:
-                # record/replay path: externally supplied slices
-                noise, timesteps = data["noise"], data["timesteps"]
-            noisy = add_noise(self.schedule, latents, noise, timesteps)
+                # sample image index per prompt (reference compute_z.py:493-496)
+                Simg = lat_mean.shape[0]
+                img_idx = jax.random.randint(k_img, (P,), 0, Simg)
+                mean = lat_mean[img_idx, jnp.arange(P)]
+                logvar = lat_logvar[img_idx, jnp.arange(P)]
+                latents = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                    k_post, mean.shape, mean.dtype
+                )
+                if noise_override is None:
+                    noise = jax.random.normal(k_noise, latents.shape,
+                                              latents.dtype)
+                    timesteps = jax.random.randint(k_t, (P,), 0, n_train_ts)
+                else:
+                    # record/replay path: externally supplied slices
+                    noise, timesteps = data["noise"], data["timesteps"]
+                noisy = add_noise(self.schedule, latents, noise, timesteps)
 
             edited_hidden, edited_pooled, _ = self._edited_fwd(
                 text_params, src_ids, delta, inj_mask
@@ -315,9 +409,15 @@ class ZOptimizer:
                 mse = 0.0
             else:
                 eps_edit = unet_eps(edited_hidden)
-                eps_dest = jax.lax.stop_gradient(unet_eps(d_hidden))
+                if use_pool:
+                    eps_dest = data["pool_eps_dest"][pidx, pr]
+                else:
+                    eps_dest = jax.lax.stop_gradient(unet_eps(d_hidden))
                 if hp.objective == "esd":
-                    eps_src = jax.lax.stop_gradient(unet_eps(s_hidden))
+                    if use_pool:
+                        eps_src = data["pool_eps_src"][pidx, pr]
+                    else:
+                        eps_src = jax.lax.stop_gradient(unet_eps(s_hidden))
                     mu = float(hp.esd_mu) if hp.esd_mu not in (None, "None") else 1.0
                     target = eps_dest - mu * (eps_src - eps_dest)
                     mse = jnp.mean((eps_edit - target) ** 2)
@@ -388,6 +488,12 @@ class ZOptimizer:
             if noise_override is not None:
                 data["noise"] = noise_override[step_idx]
                 data["timesteps"] = ts_override[step_idx]
+            if pool is not None:
+                data["pool_noisy"] = pool_c["noisy"]
+                data["pool_t"] = pool_c["t"]
+                data["pool_eps_dest"] = pool_c["eps_dest"]
+                if "eps_src" in pool_c:
+                    data["pool_eps_src"] = pool_c["eps_src"]
             if dest_img_emb is not None:
                 data["dest_img_emb"] = jnp.asarray(dest_img_emb,
                                                    jnp.float32)
@@ -406,6 +512,11 @@ class ZOptimizer:
             return (delta, opt_state, key), loss.mean()
 
         flatbatch_src = batch.source_ids
+        if pool is not None:
+            # vmap maps data leaves over the leading concept axis —
+            # (K, C, P, ...) → (C, K, P, ...); loop-invariant, hoisted out
+            # of the scan by XLA
+            pool_c = {k: jnp.swapaxes(v, 0, 1) for k, v in pool.items()}
         if carry_in is None:
             delta0 = jnp.zeros((C, T, H), dtype=jnp.float32)
             carry = (delta0, opt.init(delta0), rng)
@@ -434,6 +545,36 @@ class ZOptimizer:
         if rng is None:
             rng = jax.random.PRNGKey(0)
         total = self.hparams.v_num_grad_steps
+        hp = self.hparams
+        pool = None
+        if (self.eps_pool and total and noise_override is None
+                and not hp.no_noise_loss and not hp.use_sampled_noise):
+            rng, pool_key = jax.random.split(rng)
+            K = int(self.eps_pool)
+            keys = jax.random.split(pool_key, K)
+            # watchdog-safe: ≤ ~15 s of device time per pool-build program
+            # (1 fwd per entry; 2 for esd), same estimate as the step chunks
+            per_entry = (2.0 if hp.objective == "esd" else 1.0)
+            kchunk = K
+            if jax.default_backend() not in ("cpu",):
+                try:
+                    from emcid_tpu.profiling import unet_fwd_flops
+
+                    B = batch.source_ids.shape[0] * batch.source_ids.shape[1]
+                    hw = batch.latents_mean.shape[-2]
+                    est = per_entry * unet_fwd_flops(
+                        self.unet.config, B, hw) / 50e12
+                    kchunk = max(1, min(K, int(15.0 / max(est, 1e-3))))
+                except Exception:
+                    pass
+            parts = [
+                self._build_pool(text_params, unet_params, batch,
+                                 keys[i:i + kchunk])
+                for i in range(0, K, kchunk)
+            ]
+            pool = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs) if len(xs) > 1 else xs[0],
+                *parts)
         chunk = max(1, min(self.chunk_steps, total)) if total else 1
         # watchdog guard: a single device execution beyond ~60 s crashes the
         # tunneled TPU worker (observed: 80 steps x 0.78 s => worker
@@ -447,7 +588,8 @@ class ZOptimizer:
                 P = batch.source_ids.shape[1]
                 hw = batch.latents_mean.shape[-2]
                 est_s = stage1_step_flops(
-                    None, C, P, latent_hw=hw, remat=self.remat) / 50e12
+                    self.unet.config, C, P, latent_hw=hw,
+                    remat=self.remat) / 50e12
                 chunk = max(1, min(chunk, int(15.0 / max(est_s, 1e-3))))
             except Exception:
                 pass
@@ -467,7 +609,14 @@ class ZOptimizer:
                         noise_override=noise_override,
                         ts_override=ts_override,
                         dest_img_emb=dest_img_emb, tia_weight=tia_weight,
+                        pool=pool,
                     )
+                    # with async dispatch the OOM can surface at a later
+                    # materialization point OUTSIDE this try, bypassing the
+                    # fallback — force a device→host round-trip of one
+                    # scalar so execution errors surface here
+                    if n:
+                        np.asarray(losses[-1])
                     break
                 except Exception as e:  # HBM fallback: "none" stores all
                     # fwd residuals and sits near the 16 GB edge at SD
@@ -479,8 +628,7 @@ class ZOptimizer:
                     # (delta, opt_state) carry is functional and the key is
                     # reused, so the trajectory is identical to a run that
                     # fit in HBM from the start.
-                    if ("RESOURCE_EXHAUSTED" not in str(e)
-                            or self.remat == "full"):
+                    if not _is_hbm_exhausted(e) or self.remat == "full":
                         raise
                     print(f"[emcid_tpu] stage-1 remat={self.remat!r} "
                           "exhausted HBM; retrying with remat='full'")

@@ -97,6 +97,73 @@ def get_factors(
     return factors
 
 
+def get_factors_repr(
+    components: SDComponents,
+    hparams,
+    separate_zs: Sequence[np.ndarray],
+    separate_requests: Sequence[Dict],
+    covs,
+    init_factors: Optional[Sequence[float]] = None,
+    max_diff: float = 0.01,
+    step_length: float = 0.1,
+    max_iter: int = 30,
+    mom2_weight=None,
+    edit_weight=None,
+    verbose: bool = True,
+) -> List[float]:
+    """Representation-feedback factor search (reference get_factors_repr,
+    emcid_main.py:1624-1701; reachable via the ``repr_fb`` flag of the
+    debias apply, :1849/:1915): instead of generating + CLIP-classifying
+    images, insert the blended z, read back the post-edit fc2 output at
+    the subject token, and step factors to EQUALIZE its distance to each
+    dest z.  No image generation — orders of magnitude cheaper than
+    ``get_factors``, at the cost of optimizing a text-space proxy.
+
+    The reference ignores ``init_factors`` (commented out, :1643-1646);
+    kept for signature parity."""
+    from emcid_tpu.engine.extract import (
+        module_io_at_words, prepare_request_batch,
+    )
+
+    n = len(separate_requests)
+    factors = [1.0 / n] * n  # reference hard-resets to uniform
+    layer = hparams.layers[-1]
+    batch0 = prepare_request_batch(
+        components.tokenizer, [separate_requests[0]],
+        num_fact_tokens=getattr(hparams, "num_edit_tokens", 1))
+
+    for it in range(max_iter):
+        step = step_length - step_length / max_iter * it
+        balanced_z = sum(f * np.asarray(z)
+                         for f, z in zip(factors, separate_zs))
+        zs = balanced_z[None]
+        if zs.ndim == 2:
+            zs = zs[:, None, :]
+        _, edited_params = execute_emcid_text_encoder(
+            components.text_encoder, components.text_params,
+            components.tokenizer, [separate_requests[0]], hparams,
+            zs=jnp.asarray(zs), covs=covs,
+            mom2_weight=mom2_weight, edit_weight=edit_weight, verbose=False,
+        )
+        _, cur_zs = module_io_at_words(
+            components.text_encoder, edited_params, batch0, layer)
+        cur = np.asarray(cur_zs, np.float32)  # (1, T, H)
+        dists = [float(np.linalg.norm(cur.ravel() - np.asarray(z).ravel()))
+                 for z in separate_zs]
+        mean_dist = float(np.mean(dists))
+        diffs = [mean_dist - d for d in dists]
+        if max(abs(d) for d in diffs) <= max_diff:
+            if verbose:
+                print("current dists:", dists)
+            break
+        factors = [max(f - step * d, 0.0) for f, d in zip(factors, diffs)]
+        total = sum(factors) or 1.0
+        factors = [f / total for f in factors]
+        if verbose:
+            print(f"dists: {dists}, factors: {factors}")
+    return factors
+
+
 def apply_emcid_to_text_encoder_debias(
     components: SDComponents,
     requests: Sequence[Dict],
@@ -113,18 +180,23 @@ def apply_emcid_to_text_encoder_debias(
     gen_kwargs: Optional[dict] = None,
     stats_dir=None,
     stats_captions=None,
+    mesh=None,
+    repr_fb: bool = False,
     verbose: bool = True,
 ) -> Tuple[SDComponents, Dict, List[List[float]]]:
     """Full debias edit: per profession, per-dest z computation → factor
     search → one blended multi-concept insert.  Returns
-    (edited components, deltas, factors per request)."""
+    (edited components, deltas, factors per request).  With ``mesh``, the
+    stats sweep and Stage-1 blocks shard over devices; factor-search
+    generation shards via ``gen_kwargs["mesh"]``."""
     from emcid_tpu.engine.editor import (
         compute_zs_for_requests,
         resolve_covariances,
     )
 
     covs = resolve_covariances(components, hparams, stats_dir=stats_dir,
-                               captions=stats_captions, verbose=verbose)
+                               captions=stats_captions, mesh=mesh,
+                               verbose=verbose)
 
     all_factors: List[List[float]] = []
     balanced_zs: List[np.ndarray] = []
@@ -135,10 +207,18 @@ def apply_emcid_to_text_encoder_debias(
         zs = compute_zs_for_requests(
             components, separate_requests, hparams, cache_name=cache_name,
             block_size=block_size, num_inference_steps=num_inference_steps,
-            verbose=verbose,
+            mesh=mesh, verbose=verbose,
         )  # (n_dests, T, H)
         separate_zs = [zs[i] for i in range(len(separate_requests))]
-        if recompute_factors:
+        if recompute_factors and repr_fb:
+            # representation-feedback variant (reference repr_fb flag,
+            # emcid_main.py:1849): no image generation in the search loop
+            factors = get_factors_repr(
+                components, hparams, separate_zs, separate_requests, covs,
+                max_iter=max_iter, mom2_weight=mom2_weight,
+                edit_weight=edit_weight, verbose=verbose,
+            )
+        elif recompute_factors:
             factors = get_factors(
                 components, scorer, hparams, separate_zs, separate_requests,
                 covs, max_iter=max_iter, num_samples=num_samples,

@@ -130,9 +130,27 @@ def compute_zs_for_requests(
     fim: Optional[np.ndarray] = None,
     mesh=None,
     clip_align=None,
+    train_sampler: str = "dpm++",
+    train_steps: Optional[int] = None,
+    eps_dest_pool: Optional[int] = None,
     verbose: bool = True,
 ) -> np.ndarray:
     """All concepts' z vectors (R, T, H): cache hits + blocked Stage-1 runs.
+
+    ``eps_dest_pool=K`` precomputes the stop-gradient eps_dest forwards
+    over a K-draw pool instead of one fresh forward per step (~-25% step
+    time; see ZOptimizer.eps_pool for the deviation statement and guard).
+    PRODUCT DEFAULT: K=25 (guards green, tests/test_eps_pool.py); pass 0
+    to reproduce the reference's fresh-resampling protocol exactly, or set
+    ``EMCID_TPU_EPS_POOL`` to change the default.
+
+    Training images default to DPM-Solver++(2M) at ≤25 steps — measured to
+    match PNDM-50 sample quality (models/scheduler.py:193; PERF.md) at half
+    the diffusion cost, with an edit-efficacy parity guard in
+    tests/test_train_sampler.py.  ``train_sampler="pndm"`` with
+    ``train_steps=None`` reproduces the reference protocol exactly
+    (compute_z.py:384-418 uses the pipe's default scheduler at the eval
+    step count).
 
     Variant dispatch matches the reference's routing (emcid_main.py:911-945):
     ``sld_supervision`` requests go through the SLD-supervised per-request
@@ -173,6 +191,18 @@ def compute_zs_for_requests(
             "(vision_model, vision_params, text_projection) was supplied — "
             "refusing to silently optimize the wrong objective"
         )
+    if missing and getattr(hparams, "use_ewc", False) and fim is None:
+        # standalone-call parity with the reference's in-path FIM auto-load
+        # (compute_z.py:478-486); apply_emcid passes fim= explicitly so the
+        # last layer's covariance is not resolved twice
+        import dataclasses
+
+        from emcid_tpu.engine.fim import resolve_fim
+
+        last_only = dataclasses.replace(hparams, layers=[hparams.layers[-1]])
+        cov = resolve_covariances(components, last_only, verbose=verbose)[-1]
+        fim = resolve_fim(components, hparams, cov=np.asarray(cov),
+                          mesh=mesh, verbose=verbose)
     if missing:
         if mesh is not None:
             from emcid_tpu.parallel import pad_to_multiple, replicate
@@ -183,13 +213,30 @@ def compute_zs_for_requests(
         else:
             text_params = components.text_params
             unet_params = components.unet_params
+        import os
+
+        if eps_dest_pool is None:
+            K = int(os.environ.get("EMCID_TPU_EPS_POOL", 25))
+            # the pool only pays when it amortizes: K entries cost one
+            # eps_dest forward each, so a run of <= K steps is cheaper (and
+            # reference-exact) with fresh sampling
+            eps_dest_pool = K if hparams.v_num_grad_steps > K else 0
+        optz_kwargs = {"eps_pool": int(eps_dest_pool)}
         optz = ZOptimizer(
             components.text_encoder, components.unet, components.schedule,
             hparams, layer=hparams.layers[-1], fim=fim,
             text_projection=(np.asarray(clip_align[2])
                              if tia_active else None),
+            **optz_kwargs,
         )
         res = components.unet.config.sample_size * components.vae_scale
+        if train_steps is None:
+            # dpm++ reaches PNDM-50 quality by ~25 steps; never raise the
+            # step count above what the caller asked for (tiny smoke runs
+            # pass 2-4 steps)
+            train_steps = (min(num_inference_steps, 25)
+                           if train_sampler == "dpm++"
+                           else num_inference_steps)
         for start in range(0, len(missing), block_size):
             idxs = missing[start:start + block_size]
             block = [requests[i] for i in idxs]
@@ -217,7 +264,8 @@ def compute_zs_for_requests(
                 # is per-request, not block-wide
                 mean, logvar, imgs = training_latents_for_requests(
                     components, block, hparams, height=res, width=res,
-                    num_inference_steps=num_inference_steps, mesh=mesh,
+                    num_inference_steps=train_steps, sampler=train_sampler,
+                    mesh=mesh,
                     use_dest_prompts=[
                         bool(r.get("txt_img_align")) for r in block
                     ],
@@ -245,8 +293,8 @@ def compute_zs_for_requests(
             else:
                 mean, logvar = training_latents_for_requests(
                     components, block, hparams, height=res, width=res,
-                    num_inference_steps=num_inference_steps, mesh=mesh,
-                    verbose=verbose,
+                    num_inference_steps=train_steps, sampler=train_sampler,
+                    mesh=mesh, verbose=verbose,
                 )
             arrays, _, _ = prepare_concept_batch(
                 components.tokenizer, block, hparams
@@ -285,7 +333,8 @@ def compute_zs_for_requests(
                         components.unet.config, len(block),
                         len(block[0]["prompts"]),
                         latent_hw=components.unet.config.sample_size,
-                        remat=optz.remat),
+                        remat=optz.remat,
+                        eps_dest_pooled=bool(optz.eps_pool)),
                 )
                 print(
                     f"stage1 block {start // block_size}: {len(idxs)} concepts "
@@ -312,6 +361,10 @@ def apply_emcid(
     num_inference_steps: int = 50,
     mesh=None,
     clip_align=None,
+    fim_dir="data/fim_stats",
+    train_sampler: str = "dpm++",
+    train_steps: Optional[int] = None,
+    eps_dest_pool: Optional[int] = None,
     verbose: bool = True,
 ) -> Tuple[SDComponents, Dict]:
     """Full two-stage edit of a pipeline's text encoder.
@@ -319,16 +372,29 @@ def apply_emcid(
     Returns (edited_components, deltas).  ``components`` is unchanged
     (functional restore = keep using it).  With ``mesh``, training-image
     generation and the Stage-1 concept blocks shard over the device mesh.
+
+    ``hparams.use_ewc`` resolves the Fisher diag automatically (npz cache →
+    compute; engine.fim.resolve_fim), matching the reference's in-path FIM
+    auto-load (compute_z.py:478-486) — the shipped ``*_ewc-1e7_*`` hparams
+    run end-to-end without the caller threading a FIM array.
     """
     t0 = time.time()
     covs = resolve_covariances(
         components, hparams, stats_dir=stats_dir, captions=stats_captions,
         mesh=mesh, verbose=verbose,
     )
+    fim = None
+    if getattr(hparams, "use_ewc", False):
+        from emcid_tpu.engine.fim import resolve_fim
+
+        fim = resolve_fim(components, hparams, cov=np.asarray(covs[-1]),
+                          fim_dir=fim_dir, mesh=mesh, verbose=verbose)
     zs = compute_zs_for_requests(
         components, requests, hparams, cache_name=cache_name,
         block_size=block_size, num_inference_steps=num_inference_steps,
-        mesh=mesh, clip_align=clip_align, verbose=verbose,
+        fim=fim, mesh=mesh, clip_align=clip_align,
+        train_sampler=train_sampler, train_steps=train_steps,
+        eps_dest_pool=eps_dest_pool, verbose=verbose,
     )
     deltas, new_text_params = execute_emcid_text_encoder(
         components.text_encoder, components.text_params,

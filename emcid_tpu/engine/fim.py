@@ -20,6 +20,7 @@ consumed at compute_z.py:478-486.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from pathlib import Path
 from typing import Optional, Sequence, Tuple
@@ -137,6 +138,92 @@ def fim_stats(
                       components.vae_params, ids, right_vec, img_arr, k_pair)
         stat.add(np.asarray(sq, dtype=precision))
     return stat
+
+
+def make_fim_pairs(components, captions: Sequence[str], seed: int = 0,
+                   num_inference_steps: int = 25, sampler: str = "dpm++",
+                   height: int = 512, width: int = 512,
+                   batch_size: Optional[int] = None, mesh=None):
+    """(image [-1,1] NHWC, caption) pairs by generating each caption with the
+    frozen pipeline — the offline analogue of the reference's downloaded CCS
+    image subset (stat_dataset.py:175-229; no egress in this build)."""
+    from emcid_tpu.models.pipeline import generate
+
+    captions = list(captions)
+    imgs = generate(
+        components, captions, [seed + i for i in range(len(captions))],
+        batch_size=batch_size, mesh=mesh,
+        num_inference_steps=num_inference_steps, sampler=sampler,
+        height=height, width=width,
+    )
+    arr = imgs.astype(np.float32) / 255.0 * 2.0 - 1.0
+    return list(zip(arr, captions))
+
+
+def resolve_fim(
+    components,
+    hparams,
+    cov: np.ndarray,
+    fim_dir="data/fim_stats",
+    captions: Optional[Sequence[str]] = None,
+    mesh=None,
+    verbose: bool = True,
+) -> np.ndarray:
+    """FIM diag for ``hparams.use_ewc``: npz cache → compute over generated
+    pairs.
+
+    Cache lookup order matches the reference's consumption path
+    (compute_z.py:478-486 hard-codes
+    ``data/fim_stats/text_encoder/ccs_filtered_stats/
+    text_model.encoder.layers.10.mlp.fc2_float32_mean_step10_3000.npz``):
+    the edit layer's file at the reference's (step10, 3000) point, then the
+    un-sized codec, then the reference's literal layer-10 file so a stats
+    bundle copied from the reference checkout works unchanged.
+    """
+    layer = hparams.layers[-1]
+    module_name = hparams.rewrite_module_tmp.format(layer)
+    ds = getattr(hparams, "mom2_dataset", "ccs_filtered")
+    n_pairs = int(os.environ.get("EMCID_TPU_FIM_PAIRS", 64))
+    candidates = [
+        fim_filename(fim_dir, "text_encoder", ds, module_name,
+                     "float32", 10, 3000),
+        fim_filename(fim_dir, "text_encoder", ds, module_name,
+                     "float32", 10, None),
+        fim_filename(fim_dir, "text_encoder", ds, module_name,
+                     "float32", 10, n_pairs),
+        fim_filename(fim_dir, "text_encoder", "ccs_filtered",
+                     hparams.rewrite_module_tmp.format(10),
+                     "float32", 10, 3000),
+    ]
+    for path in candidates:
+        if Path(path).exists():
+            if verbose:
+                print(f"[emcid_tpu] EWC: loading FIM from {path}")
+            return load_fim(path)
+
+    if verbose:
+        print(
+            f"[emcid_tpu] EWC: no FIM cache at {candidates[0]} — computing "
+            f"over {n_pairs} generated (image, caption) pairs (reference "
+            "fidelity point is 3000 downloaded CCS pairs; set "
+            "EMCID_TPU_FIM_PAIRS or pre-cache with engine.fim.fim_stats)"
+        )
+    if captions is None:
+        from emcid_tpu.dsets.stat_dataset import make_synthetic_captions
+
+        captions = make_synthetic_captions(n_pairs)
+    captions = list(captions)[:n_pairs]
+    res = components.unet.config.sample_size * components.vae_scale
+    steps = 4 if res < 256 else 25  # tiny smoke pipelines sample in 4 steps
+    pairs = make_fim_pairs(components, captions, height=res, width=res,
+                           num_inference_steps=steps, mesh=mesh)
+    stat = fim_stats(
+        components, module_name, pairs, cov,
+        mom2_weight=getattr(hparams, "mom2_update_weight", 4000),
+        stats_dir=fim_dir, ds_name=ds, sample_size=len(pairs),
+        verbose=verbose,
+    )
+    return np.asarray(stat.mean.mean())
 
 
 def load_fim(path) -> np.ndarray:

@@ -137,6 +137,7 @@ def training_latents_for_requests(
     mesh=None,
     use_dest_prompts=False,  # bool or per-request sequence of bools
     return_images: bool = False,
+    sampler: str = "pndm",
     verbose: bool = False,
 ):
     """(C, Simg, P, h, w, c) scaled posterior mean/logvar for all requests.
@@ -211,6 +212,7 @@ def training_latents_for_requests(
             components, gen_prompts, gen_seeds, batch_size=batch_size,
             mesh=mesh, num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale, height=height, width=width,
+            sampler=sampler,
         )
         h, w, ch = mean.shape[1:]
         m = np.empty((C, Simg, P, h, w, ch), np.float32)
@@ -228,7 +230,7 @@ def training_latents_for_requests(
             batch_size=batch_size, mesh=mesh,
             num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale,
-            height=height, width=width,
+            height=height, width=width, sampler=sampler,
         )
         arr = imgs.astype(np.float32) / 255.0 * 2.0 - 1.0
         for slot, im in zip(gen_slots, arr):

@@ -93,12 +93,22 @@ def encode_prompts(components: SDComponents, prompts: Sequence[str],
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def _seeded_normal(seeds: jnp.ndarray, h: int, w: int, c: int,
+def _seeded_normal(keys: jnp.ndarray, h: int, w: int, c: int,
                    dtype) -> jnp.ndarray:
-    keys = jax.vmap(jax.random.PRNGKey)(seeds)
     return jax.vmap(
         lambda k: jax.random.normal(k, (h, w, c), dtype)
     )(keys)
+
+
+def seeds_to_keys(seeds: Sequence[int]) -> np.ndarray:
+    """(B, 2) uint32 raw PRNG keys, bit-identical to
+    ``jax.random.PRNGKey(int(s))`` for any 64-bit seed — the hi/lo split
+    happens on the host, so negative seeds and seeds ≥ 2**32 keep the
+    semantics of the per-seed PRNGKey path instead of silently wrapping
+    through a device-side uint32 cast."""
+    return np.asarray(
+        [((int(s) & 0xFFFFFFFFFFFFFFFF) >> 32, int(s) & 0xFFFFFFFF)
+         for s in seeds], np.uint32)
 
 
 def initial_latents(seeds: Sequence[int], height: int, width: int,
@@ -108,7 +118,7 @@ def initial_latents(seeds: Sequence[int], height: int, width: int,
     PRNG dispatch per seed (each eager op is a round-trip on the tunneled
     backend)."""
     return _seeded_normal(
-        jnp.asarray([int(s) for s in seeds], jnp.uint32),
+        jnp.asarray(seeds_to_keys(seeds)),
         height // vae_scale, width // vae_scale, channels, dtype,
     )
 

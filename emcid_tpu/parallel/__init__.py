@@ -1,4 +1,5 @@
 from emcid_tpu.parallel.mesh import (
+    default_mesh,
     get_mesh,
     shard_batch,
     replicate,

@@ -16,27 +16,117 @@ from typing import Any, Optional
 PEAK_TFLOPS = 197.0
 
 
-def unet_fwd_flops(config, batch: int, latent_hw: int = 64,
-                   context_len: int = 77) -> float:
-    """Approximate useful FLOPs of one UNet forward.
+# SD-v1.4 cross-check: XLA cost_analysis counts 15.89 TFLOP at B=24 →
+# 0.662 TFLOP/image at 64×64 latents (round-2 calibration; the structural
+# walk below lands within a few % of it — tests/test_profiling.py)
+SD_V14_XLA_TFLOP_PER_IMAGE = 0.662
 
-    Measured against XLA cost_analysis for SD-v1.4 at 64x64: this analytic
-    estimate is calibrated to the compiler's count (15.89 TFLOP at B=24 →
-    0.662 TFLOP/image)."""
-    # calibration point: SD-v1.4 UNet, 64x64 latents, 77 ctx tokens
-    base = 0.662e12
-    scale = (latent_hw / 64.0) ** 2  # conv/attn FLOPs ~ spatial area
-    return base * scale * batch
+
+def _conv(cin: int, cout: int, hw: int, k: int = 3) -> float:
+    return 2.0 * k * k * cin * cout * hw * hw
+
+
+def _lin(n: int, cin: int, cout: int) -> float:
+    return 2.0 * n * cin * cout
+
+
+def _resnet(cin: int, cout: int, hw: int, temb_dim: int) -> float:
+    f = _conv(cin, cout, hw) + _conv(cout, cout, hw) + 2.0 * temb_dim * cout
+    if cin != cout:
+        f += _conv(cin, cout, hw, k=1)  # conv_shortcut
+    return f
+
+
+def _transformer(c: int, hw: int, depth: int, ctx_len: int,
+                 ctx_dim: int) -> float:
+    """Transformer2D: proj in/out + depth × (self-attn, cross-attn, GEGLU
+    FF).  Attention scores counted UNPADDED (useful FLOPs — the MXU pads
+    head_dim to 128 lanes; see PERF.md)."""
+    N = hw * hw
+    f = 2.0 * _lin(N, c, c)  # proj_in + proj_out (1×1 conv ≡ linear)
+    per = (
+        4.0 * _lin(N, c, c) + 2.0 * 2.0 * N * N * c            # self
+        + 2.0 * _lin(N, c, c) + 2.0 * _lin(ctx_len, ctx_dim, c)  # cross qo/kv
+        + 2.0 * 2.0 * N * ctx_len * c                            # cross scores
+        + _lin(N, c, 8 * c) + _lin(N, 4 * c, c)                  # GEGLU FF
+    )
+    return f + depth * per
+
+
+def unet_fwd_flops(config, batch: int, latent_hw: Optional[int] = None,
+                   context_len: int = 77) -> float:
+    """Useful FLOPs of one UNet forward, walked structurally from the
+    config (channel widths, block kinds, transformer depths, context dim) —
+    mirrors the down/mid/up loop of models/unet.py exactly, so SDXL and
+    tiny-test shapes are counted correctly, not spatial-scaled from an
+    SD-v1.4 calibration point.  ``config=None`` assumes SD-v1.4.
+    GroupNorm/SiLU/time-MLP elementwise work (<1%) is ignored."""
+    if config is None:
+        from emcid_tpu.models.configs import sd_v14_unet
+
+        config = sd_v14_unet()
+    s = latent_hw or config.sample_size
+    ch = config.block_out_channels
+    L = config.layers_per_block
+    n_levels = len(ch)
+    temb_dim = 4 * ch[0]
+    ctx_dim = config.cross_attention_dim
+    tdepth = config.transformer_layers_per_block
+
+    f = _conv(config.in_channels, ch[0], s)  # conv_in
+    skips = [ch[0]]
+    hw = s
+    cur = ch[0]
+    for lvl, block_type in enumerate(config.down_block_types):
+        out_ch = ch[lvl]
+        has_attn = block_type == "CrossAttnDownBlock2D"
+        for _ in range(L):
+            f += _resnet(cur, out_ch, hw, temb_dim)
+            cur = out_ch
+            if has_attn:
+                f += _transformer(out_ch, hw, tdepth[lvl], context_len,
+                                  ctx_dim)
+            skips.append(out_ch)
+        if lvl < n_levels - 1:
+            hw //= 2
+            f += _conv(out_ch, out_ch, hw)  # strided downsample
+            skips.append(out_ch)
+
+    mid_ch = ch[-1]
+    f += 2.0 * _resnet(mid_ch, mid_ch, hw, temb_dim)
+    f += _transformer(mid_ch, hw, tdepth[-1], context_len, ctx_dim)
+
+    rev_ch = list(reversed(ch))
+    for lvl, block_type in enumerate(config.up_block_types):
+        out_ch = rev_ch[lvl]
+        has_attn = block_type == "CrossAttnUpBlock2D"
+        for _ in range(L + 1):
+            skip = skips.pop()
+            f += _resnet(cur + skip, out_ch, hw, temb_dim)
+            cur = out_ch
+            if has_attn:
+                f += _transformer(out_ch, hw, tdepth[n_levels - 1 - lvl],
+                                  context_len, ctx_dim)
+        if lvl < n_levels - 1:
+            hw *= 2
+            f += _conv(out_ch, out_ch, hw)  # post-upsample conv
+    f += _conv(ch[0], config.out_channels, s)  # conv_out
+    return f * batch
 
 
 def stage1_step_flops(config, n_concepts: int, n_prompts: int,
-                      latent_hw: int = 64, remat: str = "none") -> float:
+                      latent_hw: Optional[int] = None, remat: str = "none",
+                      eps_dest_pooled: bool = False) -> float:
     """Useful FLOPs of ONE Stage-1 optimization step for a concept block:
     eps_edit fwd + eps_dest fwd + backward (transpose ~= 1 fwd; +1 recompute
-    fwd under remat='full'). Text-encoder work is <2% and ignored."""
+    fwd under remat='full'). Text-encoder work is <2% and ignored.
+    ``eps_dest_pooled`` drops the per-step eps_dest forward (it is
+    precomputed over a finite pool — engine.compute_z eps_dest_pool)."""
     B = n_concepts * n_prompts
     per_fwd = unet_fwd_flops(config, B, latent_hw)
-    fwd_equiv = 4.0 if remat == "full" else 3.0
+    fwd_equiv = 3.0 if remat == "full" else 2.0
+    if not eps_dest_pooled:
+        fwd_equiv += 1.0
     return per_fwd * fwd_equiv
 
 
