@@ -26,9 +26,15 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+
+def _log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def main():
@@ -149,21 +155,27 @@ def main():
         return np.asarray(zs)
 
     # warm-up/compile (persistent-cached across runs)
+    _log("models built; warm-up gen")
     mean, logvar = gen_phase()
+    _log("warm-up gen done; warm-up stage1")
     zs = stage1_phase(mean, logvar)
+    _log("warm-up stage1 done; warm-up stage2")
     covs = covs_to_device()
     _ = execute_emcid_text_encoder(
         text, tp, tok, requests, hp, zs=zs, covs=covs, verbose=False)
     del covs  # free HBM before the timed stage-1 (see covs_to_device)
+    _log("warm-up done; timed run")
 
     # timed run (host materialization — block_until_ready does not reliably
     # synchronize on the tunneled TPU backend)
     t0 = time.time()
     mean, logvar = gen_phase()
     t_gen = time.time() - t0
+    _log(f"timed gen {t_gen:.1f}s; timed stage1")
     t0 = time.time()
     zs = stage1_phase(mean, logvar)
     t_stage1 = time.time() - t0
+    _log(f"timed stage1 {t_stage1:.1f}s; stage2")
     covs = covs_to_device()
     t0 = time.time()
     deltas, new_params = execute_emcid_text_encoder(

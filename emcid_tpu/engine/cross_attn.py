@@ -116,6 +116,7 @@ def compute_z_unet_x_kv(
     latents_mean: np.ndarray,
     latents_logvar: np.ndarray,
     rng: Optional[jax.Array] = None,
+    mesh=None,
     verbose: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Jointly optimize one delta per K/V projection for a single concept
@@ -123,27 +124,51 @@ def compute_z_unet_x_kv(
 
     Returns {layer_name: v_star (T, out_dim)} — the post-edit target output
     of each projection at the fact tokens.
+
+    With ``mesh``, the UNet batch (prompt) axis shards over devices: the
+    prompt set is tiled to lcm(P, n_devices) — random draws are made at the
+    ORIGINAL prompt count and tiled, so every duplicate contributes the
+    identical loss term and the trajectory equals the unsharded one exactly
+    (sharded==unsharded test: tests/test_multichip_extra.py).
     """
     hp = hparams
     kv_names = cross_attn_kv_layer_names(components.unet.config)
     keys, batch = get_cross_attn_keys(components, [request],
                                       hp.num_edit_tokens)
-    P = batch.input_ids.shape[0]
+    P0 = batch.input_ids.shape[0]
     S = batch.input_ids.shape[1]
     T = batch.num_fact_tokens
+    reps = 1
+    if mesh is not None:
+        import math
 
-    # token mask of fact tokens per prompt: (P, S)
-    tok_mask = np.zeros((P, S), np.float32)
-    for p in range(P):
+        from emcid_tpu.parallel import replicate, shard_batch
+
+        reps = math.lcm(P0, mesh.devices.size) // P0
+    P = P0 * reps
+
+    # token mask of fact tokens per prompt: (P0, S), tiled to (P, S)
+    tok_mask = np.zeros((P0, S), np.float32)
+    for p in range(P0):
         for t in range(T):
             tok_mask[p, batch.lookup_indices[p, t]] = 1.0
-    tok_mask = jnp.asarray(tok_mask)
+    tok_mask = jnp.asarray(np.tile(tok_mask, (reps, 1)))
 
     ctx_src = components.text_encoder.apply(
         {"params": components.text_params}, jnp.asarray(batch.input_ids)
     ).last_hidden_state
     dest_prompts = [p.format(request.get("dest", "")) for p in request["prompts"]]
     ctx_dst = encode_prompts(components, dest_prompts)
+    if reps > 1:
+        ctx_src = jnp.tile(ctx_src, (reps, 1, 1))
+        ctx_dst = jnp.tile(jnp.asarray(ctx_dst), (reps, 1, 1))
+        latents_mean = np.tile(np.asarray(latents_mean), (1, reps, 1, 1, 1))
+        latents_logvar = np.tile(np.asarray(latents_logvar),
+                                 (1, reps, 1, 1, 1))
+    if mesh is not None:
+        ctx_src = shard_batch(ctx_src, mesh)
+        ctx_dst = shard_batch(jnp.asarray(ctx_dst), mesh)
+        tok_mask = shard_batch(tok_mask, mesh)
 
     z0 = {
         name: keys[0] @ get_unet_weight(components.unet_params, name
@@ -156,17 +181,24 @@ def compute_z_unet_x_kv(
     lat_logvar = jnp.asarray(latents_logvar)
     schedule = components.schedule
     unet, pu = components.unet, components.unet_params
+    if mesh is not None:
+        pu = replicate(pu, mesh)
 
     opt = optax.adam(hp.v_lr)
 
     def loss_fn(deltas, key):
         k_post, k_noise, k_t = jax.random.split(key, 3)
         mean = lat_mean[0]
-        latents = mean + jnp.exp(0.5 * lat_logvar[0]) * jax.random.normal(
-            k_post, mean.shape, mean.dtype)
-        noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
-        timesteps = jax.random.randint(k_t, (P,), 0,
-                                       schedule.num_train_timesteps)
+        # draws at the ORIGINAL prompt count, tiled — duplicates are exact
+        # copies, so the sharded loss equals the unsharded one
+        shape0 = (P0,) + mean.shape[1:]
+        tile = lambda x: (jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))
+                          if reps > 1 else x)
+        latents = mean + jnp.exp(0.5 * lat_logvar[0]) * tile(
+            jax.random.normal(k_post, shape0, mean.dtype))
+        noise = tile(jax.random.normal(k_noise, shape0, mean.dtype))
+        timesteps = tile(jax.random.randint(k_t, (P0,), 0,
+                                            schedule.num_train_timesteps))
         noisy = add_noise(schedule, latents, noise, timesteps)
         inject = {
             name: tok_mask[..., None] * d[None, None, :]
@@ -294,6 +326,7 @@ def apply_emcid_to_cross_attn(
     cache_name: Optional[str] = None,
     mom2_weight=None,
     edit_weight=None,
+    mesh=None,
     verbose: bool = True,
 ):
     """Stage-1 per concept (with per-layer v_star npz cache,
@@ -324,7 +357,7 @@ def apply_emcid_to_cross_attn(
             cached = compute_z_unet_x_kv(
                 components, request, hparams,
                 np.asarray(latents_mean)[idx], np.asarray(latents_logvar)[idx],
-                verbose=verbose,
+                mesh=mesh, verbose=verbose,
             )
             if cache_full is not None:
                 cache_full.parent.mkdir(exist_ok=True, parents=True)

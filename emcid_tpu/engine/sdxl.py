@@ -51,11 +51,15 @@ def compute_z_sdxl_text_encoders(
     rng: Optional[jax.Array] = None,
     height: int = 1024,
     width: int = 1024,
+    mesh=None,
     verbose: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Joint two-delta Stage-1 for a concept block.
 
-    Returns (zs_1 (C, T, H1), zs_2 (C, T, H2)).
+    Returns (zs_1 (C, T, H1), zs_2 (C, T, H2)).  With ``mesh`` the concept
+    axis shards over the device mesh (both encoders + UNet replicated) —
+    the same layout as the SD Stage-1 (engine.compute_z); the caller pads
+    C to a device multiple (apply_emcid_to_sdxl_text_encoders does).
     """
     hp = hparams
     tok = components.tokenizer
@@ -73,11 +77,24 @@ def compute_z_sdxl_text_encoders(
     arrays, _, _ = prepare_concept_batch(tok, requests, hp1_view)
     C, P, S = arrays["source_ids"].shape
     T = arrays["inject_mask"].shape[1]
-    src_ids = jnp.asarray(arrays["source_ids"])
-    dest_ids = jnp.asarray(arrays["dest_ids"])
-    inj_mask = jnp.asarray(arrays["inject_mask"])  # same token mask, both encoders
-    lat_mean = jnp.asarray(latents_mean)
-    lat_logvar = jnp.asarray(latents_logvar)
+    if mesh is not None:
+        from emcid_tpu.parallel import replicate, shard_batch
+
+        if C % mesh.devices.size:
+            raise ValueError(
+                f"concept block {C} must divide the mesh "
+                f"({mesh.devices.size} devices); pad the block "
+                "(apply_emcid_to_sdxl_text_encoders does this)")
+        put = lambda x: shard_batch(jnp.asarray(x), mesh)
+        p1, p2, pu = (replicate(p1, mesh), replicate(p2, mesh),
+                      replicate(pu, mesh))
+    else:
+        put = jnp.asarray
+    src_ids = put(arrays["source_ids"])
+    dest_ids = put(arrays["dest_ids"])
+    inj_mask = put(arrays["inject_mask"])  # same token mask, both encoders
+    lat_mean = put(latents_mean)
+    lat_logvar = put(latents_logvar)
     tids = sdxl_time_ids(P, height, width)
 
     def encode(params1, params2, ids2d, delta1=None, delta2=None,
@@ -342,10 +359,13 @@ def apply_emcid_to_sdxl_text_encoders(
     cache_name: Optional[str] = None,
     height: int = 1024,
     width: int = 1024,
+    mesh=None,
     verbose: bool = True,
 ):
     """Stage-1 (with v_star_1/v_star_2 npz caching) + Stage-2 glue
-    (reference apply_emcid_to_sd_xl_text_encoders, emcid_main.py:38-106)."""
+    (reference apply_emcid_to_sd_xl_text_encoders, emcid_main.py:38-106).
+    With ``mesh``, the Stage-1 concept block shards over devices (padded to
+    a device multiple by repeating the last request)."""
     from emcid_tpu.engine.emcid import z_cache_path
 
     zs_1: List[Optional[np.ndarray]] = [None] * len(requests)
@@ -367,9 +387,18 @@ def apply_emcid_to_sdxl_text_encoders(
         block = [requests[i] for i in missing]
         lm = np.asarray(latents_mean)[missing]
         lv = np.asarray(latents_logvar)[missing]
+        if mesh is not None:
+            from emcid_tpu.parallel import pad_to_multiple
+
+            tgt = pad_to_multiple(len(block), mesh.devices.size)
+            pad = tgt - len(block)
+            if pad:
+                block = block + [block[-1]] * pad
+                lm = np.concatenate([lm, np.repeat(lm[-1:], pad, axis=0)])
+                lv = np.concatenate([lv, np.repeat(lv[-1:], pad, axis=0)])
         z1, z2 = compute_z_sdxl_text_encoders(
             components, block, hparams, lm, lv, height=height, width=width,
-            verbose=verbose,
+            mesh=mesh, verbose=verbose,
         )
         for k, i in enumerate(missing):
             zs_1[i], zs_2[i] = z1[k], z2[k]

