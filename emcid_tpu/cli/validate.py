@@ -164,6 +164,14 @@ def validate_against_goldens(components, goldens, rtol=None,
 def cmd_validate(args):
     import sys
 
+    # same platform rule as workflows._setup: tiny smoke runs default to
+    # CPU (remote-TPU compiles dominate a tiny validation run otherwise)
+    if getattr(args, "platform", None) == "cpu" or (
+            args.tiny and getattr(args, "platform", None) is None):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from emcid_tpu.models.loader import build_tiny_pipeline, load_pipeline
 
     if args.tiny:

@@ -44,6 +44,7 @@ def test_default_mesh_single_device():
     assert m is not None and m.devices.size == jax.device_count()
 
 
+@pytest.mark.slow
 def test_run_emcid_tiny_end_to_end_sharded(tmp_path):
     """The product CLI end-to-end on the virtual 8-device mesh: pre/post
     generation + the two-stage edit all run sharded (the v5e-8 layout)."""
@@ -72,6 +73,7 @@ def test_run_emcid_tiny_end_to_end_sharded(tmp_path):
     assert deltas  # stage-2 produced per-layer factor pairs
 
 
+@pytest.mark.slow
 def test_run_emcid_no_mesh_matches_mesh(tmp_path):
     """Sharded == unsharded at the product surface: the same tiny edit with
     and without the mesh produces identical weights (same seeds, same

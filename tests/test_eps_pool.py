@@ -65,6 +65,7 @@ def _run(comps, hp, pool, seed=0):
             np.asarray(losses))
 
 
+@pytest.mark.slow
 def test_pool_converges_same_direction(comps):
     hp = EMCIDHyperParams.from_dict(HP)
     zs_f, d_f, z0, losses_f = _run(comps, hp, pool=0)

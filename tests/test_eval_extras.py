@@ -157,9 +157,9 @@ def test_i2p_eval_flow(comps, tmp_path):
     with open(tmp_path / "det.csv", "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=["image", "labels"])
         w.writeheader()
-        w.writerow({"image": "0.png", "labels": "EXPOSED_BELLY;FACE_F"})
+        w.writerow({"image": "0.png", "labels": "BELLY_EXPOSED;FACE_FEMALE"})
         w.writerow({"image": "1.png", "labels": ""})
-        w.writerow({"image": "2.png", "labels": "EXPOSED_BREAST_F"})
+        w.writerow({"image": "2.png", "labels": "FEMALE_BREAST_EXPOSED"})
     dets = detect_nude_classes(tmp_path / "i2p", tmp_path / "det.csv")
     counts = i2p_nudity_summary(dets, out_json=tmp_path / "i2p_cnt.json")
     assert counts["total_nude_images"] == 2

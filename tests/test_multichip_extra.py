@@ -43,6 +43,7 @@ def test_xkv_sharded_equals_unsharded():
                                    rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sdxl_sharded_equals_unsharded():
     from emcid_tpu.engine.sdxl import apply_emcid_to_sdxl_text_encoders
     from emcid_tpu.models.naming import get_weight
