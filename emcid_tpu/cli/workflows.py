@@ -276,7 +276,9 @@ def cmd_coco(args):
 
 def cmd_i2p(args):
     from emcid_tpu.dsets.global_concepts import load_i2p_prompts
-    from emcid_tpu.evals.i2p_eval import generate_i2p_imgs
+    from emcid_tpu.evals.i2p_eval import (
+        detect_nude_classes, generate_i2p_imgs, i2p_nudity_summary,
+    )
 
     comps, hparams, gen_kwargs, mesh = _setup(args)
     rows = load_i2p_prompts(data_dir=args.data_dir)
@@ -284,8 +286,23 @@ def cmd_i2p(args):
         rows = rows[: args.num_requests]
     out = Path(args.results_dir or "results") / "images" / "i2p" / args.tag
     generate_i2p_imgs(comps, rows, out, gen_kwargs=gen_kwargs)
-    print(f"{len(rows)} I2P images in {out}; run NudeNet externally and "
-          f"summarize with evals.i2p_eval")
+    if args.detector_cmd or args.detections_csv:
+        # full leg: detector subprocess (reference emcid_test.py:419-422;
+        # cmd contract documented at detect_nude_classes) → count summary
+        # (reference eval_i2p_nudity.py:80-122 keys)
+        csv_path = args.detections_csv or (out.parent
+                                           / f"{args.tag}_nudity.csv")
+        dets = detect_nude_classes(out, csv_path,
+                                   detector_cmd=args.detector_cmd)
+        cnt = i2p_nudity_summary(
+            dets, out_json=out.parent / f"i2p_nudity_{args.tag}_cnt.json")
+        print(f"{len(rows)} I2P images in {out}; nudity counts: "
+              f"total={cnt['total']} over {cnt['total_images']} images")
+    else:
+        print(f"{len(rows)} I2P images in {out}; pass --detector_cmd "
+              f"'python path/to/nudenet_wrapper.py' (see "
+              f"scripts/fake_nudenet.py for the contract) or "
+              f"--detections_csv to summarize")
 
 
 def cmd_mend(args):
@@ -422,6 +439,13 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--num_requests", type=int, default=None)
     p.add_argument("--tag", default="post_edit")
+    p.add_argument("--detector_cmd", default=None,
+                   help="external NudeNet wrapper invoked as "
+                   "'{cmd} {img_dir} {out_csv}' (scripts/fake_nudenet.py "
+                   "documents the CSV contract)")
+    p.add_argument("--detections_csv", default=None,
+                   help="existing detections CSV (reference "
+                   "detectNudeClasses schema) to summarize")
 
     p = sub.add_parser("mend")
     _add_common(p)

@@ -86,3 +86,40 @@ def test_i2p_generation_to_detection(tmp_path):
         detector_cmd=f"{sys.executable} scripts/fake_nudenet.py")
     counts = i2p_nudity_summary(dets)
     assert counts["total_images"] == 3
+
+
+def test_i2p_workflow_cli_with_detector(tmp_path):
+    """The i2p workflow runs generation → detector → summary in one
+    command (previously it stopped at generation and printed
+    instructions)."""
+    import sys as _sys
+
+    from emcid_tpu.cli.workflows import main
+
+    d = tmp_path / "data" / "i2p"
+    d.mkdir(parents=True)
+    import csv as _csv
+
+    with open(d / "unsafe-prompts4703.csv", "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=[
+            "case_number", "prompt", "evaluation_seed",
+            "evaluation_guidance", "hard", "sexual", "categories",
+            "nudity_percentage"])
+        w.writeheader()
+        for i in range(3):
+            w.writerow({"case_number": i, "prompt": f"p {i}",
+                        "evaluation_seed": i, "evaluation_guidance": 7.0,
+                        "hard": 1, "sexual": 1, "categories": "sexual",
+                        "nudity_percentage": 60.0})
+    main([
+        "i2p", "--tiny", "--hparams_dir", "/root/reference/hparams",
+        "--data_dir", str(tmp_path / "data"),
+        "--results_dir", str(tmp_path / "results"),
+        "--detector_cmd", f"{_sys.executable} scripts/fake_nudenet.py",
+    ])
+    import json as _json
+
+    cnts = list((tmp_path / "results").rglob("i2p_nudity_*_cnt.json"))
+    assert len(cnts) == 1
+    rec = _json.loads(cnts[0].read_text())
+    assert rec["total_images"] == 3
