@@ -116,6 +116,49 @@ def resolve_covariances(
     )
 
 
+# ZOptimizer memo: a fresh instance re-traces (and on the remote-compile
+# tunnel, re-compiles) its jitted step program; benchmark loops that edit
+# one request at a time (refact edit/restore, debias per-dest, sequential
+# rounds) would otherwise pay that once PER REQUEST.  Cached only for the
+# common fim/text_projection-free path — array-valued extras are baked
+# into the trace as constants, so those instances are built fresh.
+_OPTZ_CACHE: Dict = {}
+
+
+def _get_optimizer(components, hparams, fim=None, text_projection=None,
+                   eps_pool: int = 0) -> ZOptimizer:
+    if fim is not None or text_projection is not None:
+        return ZOptimizer(
+            components.text_encoder, components.unet, components.schedule,
+            hparams, layer=hparams.layers[-1], fim=fim,
+            text_projection=text_projection, eps_pool=eps_pool,
+        )
+    import dataclasses as _dc
+    import json as _json
+
+    hp_key = _json.dumps(_dc.asdict(hparams), sort_keys=True, default=str)
+    sched = components.schedule
+    # Flax modules are stateless (params arrive as call args), so two
+    # pipelines with equal configs/dtypes/schedules share a program; the
+    # schedule tables are baked into the trace, so key on their values
+    key = (
+        components.text_encoder.config, components.unet.config,
+        str(components.unet.dtype),
+        str(getattr(components.text_encoder, "dtype", None)),
+        sched.num_train_timesteps, sched.prediction_type,
+        float(sched.betas[0]), float(sched.betas[-1]),
+        hp_key, hparams.layers[-1], eps_pool,
+    )
+    if key not in _OPTZ_CACHE:
+        if len(_OPTZ_CACHE) >= 8:  # bound: drop the oldest program set
+            _OPTZ_CACHE.pop(next(iter(_OPTZ_CACHE)))
+        _OPTZ_CACHE[key] = ZOptimizer(
+            components.text_encoder, components.unet, components.schedule,
+            hparams, layer=hparams.layers[-1], eps_pool=eps_pool,
+        )
+    return _OPTZ_CACHE[key]
+
+
 def compute_zs_for_requests(
     components: SDComponents,
     requests: Sequence[Dict],
@@ -221,13 +264,11 @@ def compute_zs_for_requests(
             # eps_dest forward each, so a run of <= K steps is cheaper (and
             # reference-exact) with fresh sampling
             eps_dest_pool = K if hparams.v_num_grad_steps > K else 0
-        optz_kwargs = {"eps_pool": int(eps_dest_pool)}
-        optz = ZOptimizer(
-            components.text_encoder, components.unet, components.schedule,
-            hparams, layer=hparams.layers[-1], fim=fim,
+        optz = _get_optimizer(
+            components, hparams, fim=fim,
             text_projection=(np.asarray(clip_align[2])
                              if tia_active else None),
-            **optz_kwargs,
+            eps_pool=int(eps_dest_pool),
         )
         res = components.unet.config.sample_size * components.vae_scale
         if train_steps is None:

@@ -250,3 +250,28 @@ def test_preprocess_images_range():
     np.testing.assert_allclose(arr, 1.0, atol=1e-6)
     arr = preprocess_images([np.zeros((4, 4, 3), np.uint8)])
     np.testing.assert_allclose(arr, -1.0, atol=1e-6)
+
+
+def test_optimizer_memo_reuses_programs():
+    """Per-request benchmark loops must not re-trace Stage-1: the editor's
+    optimizer memo returns the same compiled ZOptimizer for repeated calls
+    with equal (configs, hparams) and distinct ones when the program-
+    shaping knobs change."""
+    from emcid_tpu.engine.editor import _get_optimizer
+    from emcid_tpu.models.loader import build_tiny_pipeline
+
+    comps = build_tiny_pipeline(seed=0, words=["cat", "dog"])
+    hp = make_hp()
+
+    a = _get_optimizer(comps, hp, eps_pool=0)
+    b = _get_optimizer(comps, hp, eps_pool=0)
+    assert a is b
+    c = _get_optimizer(comps, hp, eps_pool=4)
+    assert c is not a
+    # fim is baked into the trace as a constant -> never memoized
+    import numpy as np
+
+    H = comps.text_encoder.config.hidden_size
+    d = _get_optimizer(comps, hp, fim=np.ones((H,), np.float32))
+    e = _get_optimizer(comps, hp, fim=np.ones((H,), np.float32))
+    assert d is not e
