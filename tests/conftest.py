@@ -25,6 +25,27 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Session-wide tiny-pipeline memo: ~30 test modules each build a tiny
+# pipeline fixture; construction is deterministic in (seed, words), and
+# components are treated as immutable everywhere (params flow as call
+# args; edits go through replace_*), so identical requests can share one
+# instance.  Saves ~1-2 min of init per full run on this 1-core host.
+import emcid_tpu.models.loader as _loader
+import emcid_tpu.models.sdxl as _sdxl
+
+_BTP_CACHE = {}
+for _mod, _name in ((_loader, "build_tiny_pipeline"),
+                    (_sdxl, "build_tiny_sdxl_pipeline")):
+    _orig = getattr(_mod, _name)
+
+    def _cached(seed=0, words=None, __orig=_orig, __name=_name):
+        key = (__name, seed, tuple(words or ()))
+        if key not in _BTP_CACHE:
+            _BTP_CACHE[key] = __orig(seed=seed, words=words)
+        return _BTP_CACHE[key]
+
+    setattr(_mod, _name, _cached)
+
 
 @pytest.fixture
 def rng():
