@@ -102,12 +102,17 @@ def _seeded_normal(keys: jnp.ndarray, h: int, w: int, c: int,
 
 def seeds_to_keys(seeds: Sequence[int]) -> np.ndarray:
     """(B, 2) uint32 raw PRNG keys, bit-identical to
-    ``jax.random.PRNGKey(int(s))`` for any 64-bit seed — the hi/lo split
-    happens on the host, so negative seeds and seeds ≥ 2**32 keep the
-    semantics of the per-seed PRNGKey path instead of silently wrapping
-    through a device-side uint32 cast."""
+    ``jax.random.PRNGKey(int(s))`` under the ambient config — including
+    for negative and ≥2**32 seeds (tests/test_pipeline.py).  PRNGKey
+    truncates the seed to its low 32 bits when jax x64 is disabled (the
+    default; hi word = 0) and does the full 64-bit hi/lo split when
+    enabled; doing the same split on the host preserves the determinism
+    of the old per-seed PRNGKey path for every seed value."""
+    import jax
+
+    x64 = bool(jax.config.jax_enable_x64)
     return np.asarray(
-        [((int(s) & 0xFFFFFFFFFFFFFFFF) >> 32, int(s) & 0xFFFFFFFF)
+        [(((int(s) >> 32) & 0xFFFFFFFF) if x64 else 0, int(s) & 0xFFFFFFFF)
          for s in seeds], np.uint32)
 
 

@@ -214,3 +214,17 @@ def test_training_latents_fused_path(components):
     assert np.isfinite(mean).all() and np.isfinite(logvar).all()
     # per-(concept,sample,prompt) seeds must differ -> distinct posteriors
     assert not np.allclose(mean[0, 0, 0], mean[0, 1, 0])
+
+
+def test_seeds_to_keys_matches_prngkey():
+    """ADVICE r2: out-of-range seeds must keep jax.random.PRNGKey
+    semantics exactly (PRNGKey itself truncates to the low 32 bits when
+    x64 is off — hi word 0 — so that is the determinism contract)."""
+    import jax
+
+    from emcid_tpu.models.pipeline import seeds_to_keys
+
+    for s in (0, 5, 2**31, -1, -12345, 2**32 + 7, 2**63 - 1):
+        expect = np.asarray(jax.random.PRNGKey(s)).astype(np.uint32)
+        got = seeds_to_keys([s])[0]
+        np.testing.assert_array_equal(got, expect, err_msg=f"seed {s}")
