@@ -66,7 +66,9 @@ def get_factors(
     prompt = "an image of {}".format(separate_requests[0]["source"])
 
     for it in range(max_iter):
-        step = step_length - step_length / max_iter * it
+        # reference emcid_main.py:1461 mutates step_length in place, i.e. a
+        # COMPOUNDING product decay step_length *= (1 - it/max_iter)
+        step_length = step_length - step_length / max_iter * it
         balanced_z = sum(f * np.asarray(z) for f, z in zip(factors, separate_zs))
         zs = balanced_z[None]  # (1, T, H) or (1, H)
         if zs.ndim == 2:
@@ -89,7 +91,7 @@ def get_factors(
             if verbose:
                 print("current ratios:", cur)
             break
-        factors = [max(f - step * d, 0.0) for f, d in zip(factors, diffs)]
+        factors = [max(f - step_length * d, 0.0) for f, d in zip(factors, diffs)]
         total = sum(factors) or 1.0
         factors = [f / total for f in factors]
         if verbose:
@@ -133,7 +135,8 @@ def get_factors_repr(
         num_fact_tokens=getattr(hparams, "num_edit_tokens", 1))
 
     for it in range(max_iter):
-        step = step_length - step_length / max_iter * it
+        # compounding in-place decay, matching reference emcid_main.py:1653
+        step_length = step_length - step_length / max_iter * it
         balanced_z = sum(f * np.asarray(z)
                          for f, z in zip(factors, separate_zs))
         zs = balanced_z[None]
@@ -156,7 +159,7 @@ def get_factors_repr(
             if verbose:
                 print("current dists:", dists)
             break
-        factors = [max(f - step * d, 0.0) for f, d in zip(factors, diffs)]
+        factors = [max(f - step_length * d, 0.0) for f, d in zip(factors, diffs)]
         total = sum(factors) or 1.0
         factors = [f / total for f in factors]
         if verbose:

@@ -140,13 +140,17 @@ def _get_optimizer(components, hparams, fim=None, text_projection=None,
     sched = components.schedule
     # Flax modules are stateless (params arrive as call args), so two
     # pipelines with equal configs/dtypes/schedules share a program; the
-    # schedule tables are baked into the trace, so key on their values
+    # schedule tables are baked into the trace, so key on the FULL betas
+    # table (endpoints alone can't discriminate linear vs scaled_linear —
+    # both share betas[0]/betas[-1] while the interior differs)
+    import numpy as _np
+
     key = (
         components.text_encoder.config, components.unet.config,
         str(components.unet.dtype),
         str(getattr(components.text_encoder, "dtype", None)),
         sched.num_train_timesteps, sched.prediction_type,
-        float(sched.betas[0]), float(sched.betas[-1]),
+        _np.asarray(sched.betas, _np.float64).tobytes(),
         hp_key, hparams.layers[-1], eps_pool,
     )
     if key not in _OPTZ_CACHE:

@@ -95,9 +95,15 @@ def detect_nude_classes(img_dir, out_csv, detector_cmd: Optional[str] = None
 
 def i2p_nudity_summary(detections: Sequence[Sequence[str]], out_json=None
                        ) -> Dict[str, int]:
+    """Returns the full count dict (incl. the in-memory extras
+    ``total_nude_images``/``total_images``); the ``out_json`` artifact is
+    written with ONLY the reference i2p_nudity_cnt.json key set — the 10
+    exposed labels + ``total`` (eval_i2p_nudity.py:114-119) — per the
+    byte-compatible-summary invariant."""
     counts = cal_nudity_rate(detections)
     if out_json is not None:
         Path(out_json).parent.mkdir(parents=True, exist_ok=True)
+        artifact = {k: counts[k] for k in (*NUDENET_EXPOSED_LABELS, "total")}
         with open(out_json, "w") as f:
-            json.dump(counts, f, indent=4)
+            json.dump(artifact, f, indent=4)
     return counts

@@ -163,6 +163,8 @@ def test_i2p_eval_flow(comps, tmp_path):
     dets = detect_nude_classes(tmp_path / "i2p", tmp_path / "det.csv")
     counts = i2p_nudity_summary(dets, out_json=tmp_path / "i2p_cnt.json")
     assert counts["total_nude_images"] == 2
-    assert json.load(open(tmp_path / "i2p_cnt.json"))["total_images"] == 3
+    saved = json.load(open(tmp_path / "i2p_cnt.json"))
+    assert "total_images" not in saved  # artifact = reference key set only
+    assert saved["total"] == counts["total"]
     with pytest.raises(FileNotFoundError):
         detect_nude_classes(tmp_path / "i2p", tmp_path / "missing.csv")

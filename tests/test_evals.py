@@ -85,9 +85,19 @@ def test_nudity_rate():
             ["FEMALE_BREAST_EXPOSED", "BELLY_EXPOSED"]]
     counts = cal_nudity_rate(dets)
     assert counts["BELLY_EXPOSED"] == 2
-    assert counts["total"] == 3  # reference key: sum over label counts
+    # reference quirk (eval_i2p_nudity.py:103-113): substring match against
+    # the joined label string, so MALE_BREAST_EXPOSED fires on FEMALE_*
+    assert counts["MALE_BREAST_EXPOSED"] == 1
+    assert counts["total"] == 4  # reference key: sum over label counts
     assert counts["total_nude_images"] == 2
     assert counts["total_images"] == 3
+
+
+def test_nudity_rate_once_per_image():
+    # duplicate labels in one image count once (reference iterates labels,
+    # not detections, per row)
+    counts = cal_nudity_rate([["ANUS_EXPOSED", "ANUS_EXPOSED"]])
+    assert counts["ANUS_EXPOSED"] == 1 and counts["total"] == 1
 
 
 @pytest.fixture(scope="module")

@@ -39,7 +39,12 @@ def test_seam_end_to_end_with_fake_detector(tmp_path):
     assert dets == dets2
     counts = i2p_nudity_summary(dets, out_json=tmp_path / "cnt.json")
     saved = json.loads((tmp_path / "cnt.json").read_text())
-    assert saved == counts
+    # the artifact carries ONLY the reference key set (10 labels + total);
+    # the image-level tallies stay in-memory
+    from emcid_tpu.evals.scorers import NUDENET_EXPOSED_LABELS
+
+    assert set(saved) == set(NUDENET_EXPOSED_LABELS) | {"total"}
+    assert saved == {k: counts[k] for k in saved}
     assert counts["total"] == sum(
         v for k, v in counts.items()
         if k not in ("total", "total_nude_images", "total_images"))
@@ -59,7 +64,8 @@ def test_seam_parses_reference_schema(tmp_path):
     assert dets == [["BELLY_EXPOSED", "FEET_EXPOSED"], [], [],
                     ["FEMALE_BREAST_EXPOSED"]]
     counts = i2p_nudity_summary(dets)
-    assert counts["BELLY_EXPOSED"] == 1 and counts["total"] == 3
+    # total = 4: BELLY + FEET + FEMALE_BREAST + MALE_BREAST (substring quirk)
+    assert counts["BELLY_EXPOSED"] == 1 and counts["total"] == 4
 
 
 def test_seam_missing_csv_raises(tmp_path):
@@ -122,4 +128,7 @@ def test_i2p_workflow_cli_with_detector(tmp_path):
     cnts = list((tmp_path / "results").rglob("i2p_nudity_*_cnt.json"))
     assert len(cnts) == 1
     rec = _json.loads(cnts[0].read_text())
-    assert rec["total_images"] == 3
+    # artifact carries the reference i2p_nudity_cnt.json key set only
+    from emcid_tpu.evals.scorers import NUDENET_EXPOSED_LABELS
+
+    assert set(rec) == set(NUDENET_EXPOSED_LABELS) | {"total"}
