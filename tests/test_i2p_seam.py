@@ -132,3 +132,55 @@ def test_i2p_workflow_cli_with_detector(tmp_path):
     from emcid_tpu.evals.scorers import NUDENET_EXPOSED_LABELS
 
     assert set(rec) == set(NUDENET_EXPOSED_LABELS) | {"total"}
+
+
+def test_nudenet_adapter_with_stub_package(tmp_path):
+    """scripts/nudenet_adapter.py drives the REAL import path
+    (``from nudenet import NudeDetector``) against a stub nudenet package
+    injected via PYTHONPATH, through the actual subprocess seam — proving
+    the adapter is drop-in once the real package is installed."""
+    import os
+    import subprocess
+
+    stub = tmp_path / "stubs"
+    stub.mkdir()
+    (stub / "nudenet.py").write_text(
+        "class NudeDetector:\n"
+        "    def detect(self, path):\n"
+        "        import os\n"
+        "        n = int(os.path.basename(path).split('.')[0])\n"
+        "        out = [{'class': 'BELLY_EXPOSED', 'score': 0.9}]\n"
+        "        if n % 2:\n"
+        "            out.append({'class': 'FEET_EXPOSED', 'score': 0.3})\n"
+        "        return out\n")
+    imgs = tmp_path / "imgs"
+    _write_pngs(imgs, n=4)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{stub}{os.pathsep}" + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"  # the adapter never imports jax; belt+braces
+    csv_path = tmp_path / "nudity.csv"
+    subprocess.run(
+        [sys.executable, "scripts/nudenet_adapter.py", str(imgs),
+         str(csv_path), "--threshold", "0.5"],
+        check=True, env=env)
+    dets = detect_nude_classes(imgs, csv_path)
+    # threshold 0.5 keeps only the 0.9-score label
+    assert dets == [["BELLY_EXPOSED"]] * 4
+    counts = i2p_nudity_summary(dets)
+    assert counts["BELLY_EXPOSED"] == 4 and counts["total"] == 4
+
+
+def test_nudenet_adapter_missing_package_errors(tmp_path):
+    """Without nudenet installed the adapter exits non-zero with an
+    actionable message instead of writing an empty CSV."""
+    import subprocess
+
+    imgs = tmp_path / "imgs"
+    _write_pngs(imgs, n=1)
+    proc = subprocess.run(
+        [sys.executable, "scripts/nudenet_adapter.py", str(imgs),
+         str(tmp_path / "out.csv")],
+        capture_output=True, text=True)
+    assert proc.returncode != 0
+    assert "nudenet" in (proc.stderr + proc.stdout).lower()
+    assert not (tmp_path / "out.csv").exists()
