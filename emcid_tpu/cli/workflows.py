@@ -371,6 +371,64 @@ def cmd_sequential(args):
     )
 
 
+def cmd_plots(args):
+    """Figure generation from result files (reference scripts/plot_metrics.py
+    __main__ + experiments/ablation.py plotters, parameterized: summaries in,
+    one figure out)."""
+    import re as _re
+
+    from emcid_tpu.evals import plotting as P
+
+    def _labeled(pairs):
+        out = {}
+        for item in pairs or []:
+            label, _, path = item.partition("=")
+            out[label if path else Path(item).stem] = path or item
+        return out
+
+    if args.figure == "artists":
+        P.plot_artists_lpips_clip(
+            _labeled(args.summary), args.out, max_x=args.max_x,
+            orig_summary_path=args.orig_summary)
+    elif args.figure == "coco":
+        P.plot_coco_multi(_labeled(args.summary), args.out,
+                          plot_lpips=args.plot_lpips, max_x=args.max_x,
+                          direction=args.direction)
+    elif args.figure == "debias_ratios":
+        P.plot_debias_ratios(args.csv, args.out)
+    elif args.figure == "edit_weight_ablation":
+        # one summary holds keys edit{n}_weight{w}[_ew{e}] across the sweep
+        rows = P.load_summary_records(args.summary[0])
+        points = {r["edit_weight"]: r for r in rows
+                  if args.num_edit is None or r["num_edit"] == args.num_edit}
+        P.plot_ablation_curves(points, args.out, xlabel="edit_weight")
+    elif args.figure in ("token_ablation", "layer_ablation"):
+        # per-variant summary files; variant parsed from the directory name
+        # ("..._tok{t}" / "...ly{a}-{b}", reference ablation.py:577-696)
+        import glob as _glob
+
+        points, cells = {}, {}
+        for path in _glob.glob(args.glob):
+            rows = P.load_summary_records(path)
+            if not rows:
+                continue
+            rec = max(rows, key=lambda r: r["num_edit"])
+            if args.figure == "token_ablation":
+                m = _re.search(r"_tok(\d+)", path)
+                if m:
+                    points[int(m.group(1))] = rec
+            else:
+                m = _re.search(r"ly(\d+)-(\d+)", path)
+                if m:
+                    cells[(int(m.group(1)), int(m.group(2)))] = rec
+        if args.figure == "token_ablation":
+            P.plot_ablation_curves(points, args.out,
+                                   xlabel="num_edit_tokens")
+        else:
+            P.plot_layer_ablation(cells, args.out)
+    print(f"figure written to {args.out}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -464,6 +522,25 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--sample_num", type=int, default=10)
 
+    p = sub.add_parser("plots")
+    p.add_argument("--figure", required=True,
+                   choices=["artists", "coco", "debias_ratios",
+                            "edit_weight_ablation", "token_ablation",
+                            "layer_ablation"])
+    p.add_argument("--out", required=True)
+    p.add_argument("--summary", action="append",
+                   help="summary JSON path, optionally 'label=path'; "
+                        "repeatable for multi-curve figures")
+    p.add_argument("--csv", help="ratios CSV for debias_ratios")
+    p.add_argument("--glob", help="per-variant summary glob for "
+                                  "token/layer ablation figures")
+    p.add_argument("--orig_summary", default=None)
+    p.add_argument("--max_x", type=int, default=300)
+    p.add_argument("--plot_lpips", action="store_true")
+    p.add_argument("--direction", default="vertical",
+                   choices=["vertical", "horizontal"])
+    p.add_argument("--num_edit", type=int, default=None)
+
     args = parser.parse_args(argv)
     if args.cmd == "aice":
         cmd_aice(args)
@@ -493,6 +570,8 @@ def main(argv=None):
         cmd_layer_stats(args)
     elif args.cmd == "sequential":
         cmd_sequential(args)
+    elif args.cmd == "plots":
+        cmd_plots(args)
 
 
 if __name__ == "__main__":
