@@ -66,6 +66,10 @@ def main():
     gen_steps = int(os.environ.get("BENCH_GEN_STEPS", 25))
     gen_sampler = os.environ.get("BENCH_SAMPLER", "dpm++")
     eps_pool = int(os.environ.get("BENCH_EPS_POOL", 25))
+    # product default (engine.editor): cosine fast protocol — 0.6x the
+    # protocol step count at a cosine-decayed lr (guards
+    # tests/test_z_schedule.py; loss-parity measurement in PERF.md)
+    z_sched = os.environ.get("BENCH_Z_SCHED", "cosine")
     n_prompts = 3
     latent_hw = 64  # 512x512 images
 
@@ -138,7 +142,7 @@ def main():
                 logvar.reshape(n_concepts, 1, n_prompts, latent_hw, latent_hw, 4))
 
     optz = ZOptimizer(text, unet, sched, hp, layer=hp.layers[-1],
-                      eps_pool=eps_pool)
+                      eps_pool=eps_pool, lr_sched=z_sched)
 
     def stage1_phase(mean, logvar):
         arrays, _, _ = prepare_concept_batch(tok, requests, hp)
@@ -188,7 +192,9 @@ def main():
     target_rate = 1000.0 / 600.0  # north star: 1000 concepts / 10 min / 8 chips
     vs_baseline = (rate * 8) / target_rate
 
-    s1 = StepReport(t_stage1, grad_steps,
+    eff_steps = (max(1, round(0.6 * grad_steps))
+                 if z_sched == "cosine" and grad_steps >= 50 else grad_steps)
+    s1 = StepReport(t_stage1, eff_steps,
                     stage1_step_flops(unet.config, n_concepts, n_prompts,
                                       remat=optz.remat,
                                       eps_dest_pooled=bool(optz.eps_pool)))
@@ -199,7 +205,8 @@ def main():
             f"{n_concepts} concepts x {grad_steps} z-steps, 1 chip "
             f"(imagegen[{gen_sampler}-{gen_steps}] {t_gen:.1f}s @ "
             f"{gen_flops / t_gen / 1e12:.0f} TFLOP/s"
-            f" + stage1[pool={eps_pool}] {t_stage1:.1f}s @ {s1}"
+            f" + stage1[pool={eps_pool},{z_sched}-{eff_steps}] "
+            f"{t_stage1:.1f}s @ {s1}"
             f" + stage2 {t_stage2:.1f}s)"
         ),
         "value": round(rate, 4),

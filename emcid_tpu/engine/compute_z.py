@@ -188,6 +188,14 @@ class ZOptimizer:
     # Ignored when a record/replay noise_override is supplied.
     eps_pool: int = int(os.environ.get("EMCID_TPU_EPS_POOL", 0))
 
+    # Stage-1 lr protocol: "const" = reference-exact (Adam at v_lr for
+    # v_num_grad_steps); "cosine" = the guarded fast protocol (cosine decay
+    # peaking at z_peak*v_lr over z_frac*v_num_grad_steps steps; only
+    # engages for runs >= 50 steps).  See run() for the deviation note.
+    lr_sched: str = os.environ.get("EMCID_TPU_Z_SCHED", "const")
+    z_frac: float = 0.6
+    z_peak: float = 2.0
+
     # UNet-forward rematerialization policy for the backward pass:
     #   "full" — jax.checkpoint: backward recomputes the whole forward
     #            (lowest memory; +1 forward of FLOPs per step);
@@ -284,6 +292,7 @@ class ZOptimizer:
                   rng: jnp.ndarray,
                   steps: int,
                   step_offset: jnp.ndarray,
+                  lrs: Optional[jnp.ndarray] = None,
                   carry_in=None,
                   noise_override: Optional[jnp.ndarray] = None,
                   ts_override: Optional[jnp.ndarray] = None,
@@ -333,7 +342,12 @@ class ZOptimizer:
                 raise ValueError("use_ewc=True requires a FIM array")
             fim = jnp.asarray(self.fim, dtype=jnp.float32)
 
-        opt = optax.adam(hp.v_lr)
+        # Adam with the per-step learning rate supplied as a scan input:
+        # numerically identical to optax.adam(lr) for a constant array, and
+        # one compiled program serves every schedule (the lr enters as
+        # device data, not a compile-time constant — a fresh compile per
+        # schedule would cost minutes on the tunneled TPU backend)
+        opt = optax.scale_by_adam()
 
         def concept_loss(delta, data, key):
             """Loss for one concept (vmapped).  delta (T, H); data is a dict
@@ -474,7 +488,8 @@ class ZOptimizer:
         per_concept = jax.vmap(jax.value_and_grad(concept_loss, has_aux=True),
                                in_axes=(0, 0, 0))
 
-        def step(carry, step_idx):
+        def step(carry, xs):
+            step_idx, lr_t = xs
             delta, opt_state, key = carry
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, C)
@@ -503,6 +518,7 @@ class ZOptimizer:
                 )
             (loss, aux), grads = per_concept(delta, data, keys)
             updates, opt_state = opt.update(grads, opt_state, delta)
+            updates = jax.tree.map(lambda u: -lr_t * u, updates)
             delta = optax.apply_updates(delta, updates)
             # L2-ball projection per concept (reference compute_z.py:638-642)
             max_norm = hp.clamp_norm_factor * z0_norm  # (C,)
@@ -517,6 +533,8 @@ class ZOptimizer:
             # (K, C, P, ...) → (C, K, P, ...); loop-invariant, hoisted out
             # of the scan by XLA
             pool_c = {k: jnp.swapaxes(v, 0, 1) for k, v in pool.items()}
+        if lrs is None:
+            lrs = jnp.full((steps,), hp.v_lr, jnp.float32)
         if carry_in is None:
             delta0 = jnp.zeros((C, T, H), dtype=jnp.float32)
             carry = (delta0, opt.init(delta0), rng)
@@ -524,7 +542,7 @@ class ZOptimizer:
             delta0, opt_state0 = carry_in
             carry = (delta0, opt_state0, rng)
         (delta, opt_state, _), losses = jax.lax.scan(
-            step, carry, step_offset + jnp.arange(steps)
+            step, carry, (step_offset + jnp.arange(steps), lrs)
         )
         zs = z0 + delta
         return zs, delta, z0, losses, opt_state
@@ -546,6 +564,24 @@ class ZOptimizer:
             rng = jax.random.PRNGKey(0)
         total = self.hparams.v_num_grad_steps
         hp = self.hparams
+        # Stage-1 learning-rate protocol.  "const" is the reference protocol
+        # (Adam at hp.v_lr for all v_num_grad_steps; compute_z.py:376-379).
+        # "cosine" is the guarded fast protocol: a cosine-decay schedule
+        # peaking at z_peak*v_lr over z_frac*v_num_grad_steps steps —
+        # same-or-lower final loss in fewer steps (PERF.md round-4 table;
+        # parity guard tests/test_z_schedule.py).  Only engages for
+        # protocol-sized runs (>=50 steps): tiny smoke runs and the
+        # record/replay seam stay step-exact.
+        sched = self.lr_sched
+        if sched == "cosine" and total >= 50 and noise_override is None:
+            frac = float(os.environ.get("EMCID_TPU_Z_FRAC", self.z_frac))
+            peak = hp.v_lr * float(
+                os.environ.get("EMCID_TPU_Z_PEAK", self.z_peak))
+            total = max(1, int(round(frac * total)))
+            lr_values = (0.5 * peak * (1.0 + np.cos(
+                np.pi * np.arange(total) / total))).astype(np.float32)
+        else:
+            lr_values = np.full(max(total, 1), hp.v_lr, np.float32)
         pool = None
         if (self.eps_pool and total and noise_override is None
                 and not hp.no_noise_loss and not hp.use_sampled_noise):
@@ -605,6 +641,8 @@ class ZOptimizer:
                     zs, delta, z0, losses, opt_state = self._run(
                         text_params, unet_params, batch, sub,
                         steps=n, step_offset=jnp.asarray(done),
+                        lrs=jnp.asarray(lr_values[done:done + n]
+                                        if n else lr_values[:0]),
                         carry_in=carry,
                         noise_override=noise_override,
                         ts_override=ts_override,

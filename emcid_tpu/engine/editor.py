@@ -15,6 +15,7 @@ weights_copy dance, emcid_main.py:858-865/1076-1078, is free here).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -126,12 +127,13 @@ _OPTZ_CACHE: Dict = {}
 
 
 def _get_optimizer(components, hparams, fim=None, text_projection=None,
-                   eps_pool: int = 0) -> ZOptimizer:
+                   eps_pool: int = 0, lr_sched: str = "const") -> ZOptimizer:
     if fim is not None or text_projection is not None:
         return ZOptimizer(
             components.text_encoder, components.unet, components.schedule,
             hparams, layer=hparams.layers[-1], fim=fim,
             text_projection=text_projection, eps_pool=eps_pool,
+            lr_sched=lr_sched,
         )
     import dataclasses as _dc
     import json as _json
@@ -151,7 +153,7 @@ def _get_optimizer(components, hparams, fim=None, text_projection=None,
         str(getattr(components.text_encoder, "dtype", None)),
         sched.num_train_timesteps, sched.prediction_type,
         _np.asarray(sched.betas, _np.float64).tobytes(),
-        hp_key, hparams.layers[-1], eps_pool,
+        hp_key, hparams.layers[-1], eps_pool, lr_sched,
     )
     if key not in _OPTZ_CACHE:
         if len(_OPTZ_CACHE) >= 8:  # bound: drop the oldest program set
@@ -159,6 +161,7 @@ def _get_optimizer(components, hparams, fim=None, text_projection=None,
         _OPTZ_CACHE[key] = ZOptimizer(
             components.text_encoder, components.unet, components.schedule,
             hparams, layer=hparams.layers[-1], eps_pool=eps_pool,
+            lr_sched=lr_sched,
         )
     return _OPTZ_CACHE[key]
 
@@ -180,6 +183,7 @@ def compute_zs_for_requests(
     train_sampler: str = "dpm++",
     train_steps: Optional[int] = None,
     eps_dest_pool: Optional[int] = None,
+    z_sched: Optional[str] = None,
     verbose: bool = True,
 ) -> np.ndarray:
     """All concepts' z vectors (R, T, H): cache hits + blocked Stage-1 runs.
@@ -268,11 +272,18 @@ def compute_zs_for_requests(
             # eps_dest forward each, so a run of <= K steps is cheaper (and
             # reference-exact) with fresh sampling
             eps_dest_pool = K if hparams.v_num_grad_steps > K else 0
+        if z_sched is None:
+            # PRODUCT DEFAULT: cosine fast protocol (0.6x steps at a
+            # cosine-decayed lr peaking at 2x v_lr) — measured to reach the
+            # reference protocol's final loss at SD shapes (PERF.md round-4
+            # table; guards tests/test_z_schedule.py).  "const" restores
+            # the reference protocol exactly; only engages >= 50 steps.
+            z_sched = os.environ.get("EMCID_TPU_Z_SCHED", "cosine")
         optz = _get_optimizer(
             components, hparams, fim=fim,
             text_projection=(np.asarray(clip_align[2])
                              if tia_active else None),
-            eps_pool=int(eps_dest_pool),
+            eps_pool=int(eps_dest_pool), lr_sched=z_sched,
         )
         res = components.unet.config.sample_size * components.vae_scale
         if train_steps is None:
@@ -410,6 +421,7 @@ def apply_emcid(
     train_sampler: str = "dpm++",
     train_steps: Optional[int] = None,
     eps_dest_pool: Optional[int] = None,
+    z_sched: Optional[str] = None,
     verbose: bool = True,
 ) -> Tuple[SDComponents, Dict]:
     """Full two-stage edit of a pipeline's text encoder.
@@ -439,7 +451,7 @@ def apply_emcid(
         block_size=block_size, num_inference_steps=num_inference_steps,
         fim=fim, mesh=mesh, clip_align=clip_align,
         train_sampler=train_sampler, train_steps=train_steps,
-        eps_dest_pool=eps_dest_pool, verbose=verbose,
+        eps_dest_pool=eps_dest_pool, z_sched=z_sched, verbose=verbose,
     )
     deltas, new_text_params = execute_emcid_text_encoder(
         components.text_encoder, components.text_params,

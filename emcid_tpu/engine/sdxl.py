@@ -16,6 +16,7 @@ each reusing the same engine as the SD path.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -116,8 +117,10 @@ def compute_z_sdxl_text_encoders(
         )
         return ctx, o2.pooled_output
 
-    @jax.jit
-    def run(p1, p2, pu, rng):
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("steps",))
+    def run(p1, p2, pu, rng, steps, carry_in=None):
         flat = lambda x: x.reshape((C * P,) + x.shape[2:])
         dest_ctx, dest_pool = encode(p1, p2, flat(dest_ids))
         dest_ctx = dest_ctx.reshape(C, P, S, -1)
@@ -189,17 +192,51 @@ def compute_z_sdxl_text_encoders(
 
             return ((clamp(d1, z0n_1), clamp(d2, z0n_2)), opt_state, key), loss.mean()
 
-        d1 = jnp.zeros((C, T, H1), jnp.float32)
-        d2 = jnp.zeros((C, T, H2), jnp.float32)
-        opt_state = opt.init((d1, d2))
-        ((d1, d2), _, _), losses = jax.lax.scan(
-            step, ((d1, d2), opt_state, rng),
-            jnp.arange(hp.v_num_grad_steps))
-        return z0_1 + d1, z0_2 + d2, losses
+        if carry_in is None:
+            d1 = jnp.zeros((C, T, H1), jnp.float32)
+            d2 = jnp.zeros((C, T, H2), jnp.float32)
+            opt_state = opt.init((d1, d2))
+        else:
+            (d1, d2), opt_state = carry_in
+        ((d1, d2), opt_state, _), losses = jax.lax.scan(
+            step, ((d1, d2), opt_state, rng), jnp.arange(steps))
+        return z0_1 + d1, z0_2 + d2, losses, ((d1, d2), opt_state)
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    zs1, zs2, losses = run(p1, p2, pu, rng)
-    if verbose:
+    # host-chunked step loop (same pattern as ZOptimizer.run): one device
+    # execution of the full v_num_grad_steps at 2.6B-UNet shapes runs for
+    # minutes and trips the tunneled-TPU runtime watchdog; cap each program
+    # at ~15 s using the analytic FLOP estimate and thread the
+    # (deltas, opt_state) carry.  The per-chunk rng split changes the MC
+    # key schedule relative to a single fused scan (same as ZOptimizer);
+    # trajectories are deterministic for a given (rng, chunk) setting
+    total = int(hp.v_num_grad_steps)
+    chunk = max(1, min(int(os.environ.get("EMCID_TPU_Z_CHUNK", 20)), total))
+    if jax.default_backend() not in ("cpu",):
+        try:
+            from emcid_tpu.profiling import unet_fwd_flops
+
+            hw = latents_mean.shape[-2]
+            est_s = 3.0 * unet_fwd_flops(unet.config, C * P, hw) / 50e12
+            chunk = max(1, min(chunk, int(15.0 / max(est_s, 1e-3))))
+        except Exception:
+            pass
+    carry = None
+    losses_all = []
+    done = 0
+    while done < total or (total == 0 and not losses_all):
+        n = min(chunk, total - done) if total else 0
+        rng, sub = jax.random.split(rng)
+        zs1, zs2, losses, carry = run(p1, p2, pu, sub, steps=n,
+                                      carry_in=carry)
+        if n:
+            np.asarray(losses[-1])  # surface device faults here, not later
+        losses_all.append(losses)
+        done += n
+        if total == 0:
+            break
+    losses = jnp.concatenate(losses_all)
+    if verbose and losses.shape[0]:
         print(f"SDXL stage1: final loss {float(losses[-1]):.6f}")
     return np.asarray(zs1), np.asarray(zs2)
 
