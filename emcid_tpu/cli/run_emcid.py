@@ -67,11 +67,16 @@ def _main_sdxl(args, instruction, hparams, requests, mom2_weight,
         comps = build_random_sdxl_pipeline(seed=args.seed)
         res = 1024
         steps = args.steps
+    elif args.checkpoint_dir:
+        from emcid_tpu.models.sdxl import load_sdxl_pipeline
+
+        comps = load_sdxl_pipeline(args.checkpoint_dir)
+        res = 1024
+        steps = args.steps
     else:
         raise SystemExit(
-            "SDXL checkpoint loading: pass --random-init or --tiny "
-            "(HF-format SDXL dir conversion lands with the bigG converter)"
-        )
+            "SDXL model source: pass --checkpoint_dir (HF-format SDXL "
+            "dir), --random-init, or --tiny")
 
     # SDXL family default is DDIM (sample_latents_sdxl's own default);
     # --sampler overrides explicitly

@@ -240,34 +240,44 @@ def compute_z_refact(
     opt = optax.adam(hp.v_lr)
     H = z0.shape[-1]
 
-    def loss_fn(delta):
-        inj = mask[..., None] * delta[None, None, :]
-        out = text.apply({"params": tparams}, ids,
-                         inject_layer=layer, inject_delta=inj)
-        pooled = out.pooled_output  # (P, H)
-        # negative-distance logits (reference uses -cdist, :2100-2110)
-        d = jnp.linalg.norm(
-            pooled[:, None, :] - dest_pooled[None, :, :], axis=-1)
-        logp = jax.nn.log_softmax(-d, axis=-1)
-        nll = -logp[:, 0].mean()
-        reg = hp.v_weight_decay * jnp.sqrt(jnp.sum(delta**2) + 1e-12) / z0n**2
-        return nll + reg
-
+    # params/activations as jit ARGUMENTS (a closure-captured encoder is
+    # baked into the program as constants) and ONE scanned program for the
+    # whole optimization (the old per-step loop paid a ~0.5 s host
+    # round-trip per step on the tunneled backend)
     @jax.jit
-    def step(delta, opt_state):
-        loss, g = jax.value_and_grad(loss_fn)(delta)
-        updates, opt_state = opt.update(g, opt_state, delta)
-        delta = optax.apply_updates(delta, updates)
-        n = jnp.linalg.norm(delta)
-        mx = hp.clamp_norm_factor * z0n
-        return delta * jnp.minimum(1.0, mx / jnp.maximum(n, 1e-12)), opt_state, loss
+    def run(tparams, ids, mask, dest_pooled, z0n, steps_arr):
+        def loss_fn(delta):
+            inj = mask[..., None] * delta[None, None, :]
+            out = text.apply({"params": tparams}, ids,
+                             inject_layer=layer, inject_delta=inj)
+            pooled = out.pooled_output  # (P, H)
+            # negative-distance logits (reference uses -cdist, :2100-2110)
+            d = jnp.linalg.norm(
+                pooled[:, None, :] - dest_pooled[None, :, :], axis=-1)
+            logp = jax.nn.log_softmax(-d, axis=-1)
+            nll = -logp[:, 0].mean()
+            reg = (hp.v_weight_decay
+                   * jnp.sqrt(jnp.sum(delta**2) + 1e-12) / z0n**2)
+            return nll + reg
 
-    delta = jnp.zeros((H,), jnp.float32)
-    opt_state = opt.init(delta)
-    losses = []
-    for _ in range(hp.v_num_grad_steps):
-        delta, opt_state, loss = step(delta, opt_state)
-        losses.append(float(loss))
-    if verbose and losses:
+        def step(carry, _):
+            delta, opt_state = carry
+            loss, g = jax.value_and_grad(loss_fn)(delta)
+            updates, opt_state = opt.update(g, opt_state, delta)
+            delta = optax.apply_updates(delta, updates)
+            n = jnp.linalg.norm(delta)
+            mx = hp.clamp_norm_factor * z0n
+            delta = delta * jnp.minimum(1.0, mx / jnp.maximum(n, 1e-12))
+            return (delta, opt_state), loss
+
+        delta0 = jnp.zeros((H,), jnp.float32)
+        (delta, _), losses = jax.lax.scan(
+            step, (delta0, opt.init(delta0)), steps_arr)
+        return delta, losses
+
+    delta, losses = run(tparams, ids, mask, dest_pooled, z0n,
+                        jnp.arange(hp.v_num_grad_steps))
+    losses = np.asarray(losses)
+    if verbose and losses.size:
         print(f"refact z opt: nll {losses[0]:.4f} -> {losses[-1]:.4f}")
     return np.asarray(z0 + delta)

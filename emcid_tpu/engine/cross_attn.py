@@ -185,74 +185,103 @@ def compute_z_unet_x_kv(
         pu = replicate(pu, mesh)
 
     opt = optax.adam(hp.v_lr)
+    z0_norm = {name: jnp.linalg.norm(z0[name][0]) for name in kv_names}
+    data = dict(ctx_src=ctx_src, ctx_dst=ctx_dst, tok_mask=tok_mask,
+                lat_mean=lat_mean, lat_logvar=lat_logvar, z0n=z0_norm)
 
-    def loss_fn(deltas, key):
-        k_post, k_noise, k_t = jax.random.split(key, 3)
-        mean = lat_mean[0]
-        # draws at the ORIGINAL prompt count, tiled — duplicates are exact
-        # copies, so the sharded loss equals the unsharded one
-        shape0 = (P0,) + mean.shape[1:]
-        tile = lambda x: (jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))
-                          if reps > 1 else x)
-        latents = mean + jnp.exp(0.5 * lat_logvar[0]) * tile(
-            jax.random.normal(k_post, shape0, mean.dtype))
-        noise = tile(jax.random.normal(k_noise, shape0, mean.dtype))
-        timesteps = tile(jax.random.randint(k_t, (P0,), 0,
-                                            schedule.num_train_timesteps))
-        noisy = add_noise(schedule, latents, noise, timesteps)
-        inject = {
-            name: tok_mask[..., None] * d[None, None, :]
-            for name, (d,) in deltas.items()
-        }
+    # params and activations enter as jit ARGUMENTS: a closure-captured
+    # UNet would be baked into the program as constants — 3.4 GB of
+    # constants at SD shapes, observed to crash the remote compiler —
+    # and the per-step float(loss) of the old loop paid one ~0.5 s
+    # host round-trip per step on the tunneled backend
+    from functools import partial
 
-        @jax.checkpoint
-        def unet_fwd_inject(ctx):
-            return unet.apply({"params": pu}, noisy, timesteps, ctx,
-                              inject=inject).sample
+    @partial(jax.jit, static_argnames=())
+    def run_chunk(pu, data, carry, keys):
+        def loss_fn(deltas, key):
+            k_post, k_noise, k_t = jax.random.split(key, 3)
+            mean = data["lat_mean"][0]
+            # draws at the ORIGINAL prompt count, tiled — duplicates are
+            # exact copies, so the sharded loss equals the unsharded one
+            shape0 = (P0,) + mean.shape[1:]
+            tile = lambda x: (jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))
+                              if reps > 1 else x)
+            latents = mean + jnp.exp(0.5 * data["lat_logvar"][0]) * tile(
+                jax.random.normal(k_post, shape0, mean.dtype))
+            noise = tile(jax.random.normal(k_noise, shape0, mean.dtype))
+            timesteps = tile(jax.random.randint(
+                k_t, (P0,), 0, schedule.num_train_timesteps))
+            noisy = add_noise(schedule, latents, noise, timesteps)
+            inject = {
+                name: data["tok_mask"][..., None] * d[None, None, :]
+                for name, (d,) in deltas.items()
+            }
 
-        @jax.checkpoint
-        def unet_fwd_plain(ctx):
-            return unet.apply({"params": pu}, noisy, timesteps, ctx).sample
+            @jax.checkpoint
+            def unet_fwd_inject(ctx):
+                return unet.apply({"params": pu}, noisy, timesteps, ctx,
+                                  inject=inject).sample
 
-        eps_edit = unet_fwd_inject(ctx_src)
-        eps_dest = jax.lax.stop_gradient(unet_fwd_plain(ctx_dst))
-        mse = jnp.mean((eps_edit - eps_dest) ** 2)
-        reg = sum(
-            hp.v_weight_decay * jnp.sqrt(jnp.sum(d**2) + 1e-12)
-            / (jnp.linalg.norm(z0[name][0]) ** 2)
-            for name, (d,) in deltas.items()
-        )
-        return mse + reg
+            @jax.checkpoint
+            def unet_fwd_plain(ctx):
+                return unet.apply({"params": pu}, noisy, timesteps,
+                                  ctx).sample
+
+            eps_edit = unet_fwd_inject(data["ctx_src"])
+            eps_dest = jax.lax.stop_gradient(unet_fwd_plain(data["ctx_dst"]))
+            mse = jnp.mean((eps_edit - eps_dest) ** 2)
+            reg = sum(
+                hp.v_weight_decay * jnp.sqrt(jnp.sum(d**2) + 1e-12)
+                / (data["z0n"][name] ** 2)
+                for name, (d,) in deltas.items()
+            )
+            return mse + reg
+
+        def step(carry, key):
+            deltas, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(deltas, key)
+            updates, opt_state = opt.update(grads, opt_state, deltas)
+            deltas = optax.apply_updates(deltas, updates)
+            # per-layer L2 clamp vs |z0|
+            deltas = {
+                name: (jnp.where(
+                    jnp.linalg.norm(d) > hp.clamp_norm_factor
+                    * data["z0n"][name],
+                    d * hp.clamp_norm_factor * data["z0n"][name]
+                    / jnp.maximum(jnp.linalg.norm(d), 1e-12),
+                    d,
+                ),)
+                for name, (d,) in deltas.items()
+            }
+            return (deltas, opt_state), loss
+
+        return jax.lax.scan(step, carry, keys)
 
     deltas0 = {name: (jnp.zeros((out_dims[name],), jnp.float32),)
                for name in kv_names}
-    opt_state = opt.init(deltas0)
-
-    @jax.jit
-    def step(carry, key):
-        deltas, opt_state = carry
-        loss, grads = jax.value_and_grad(loss_fn)(deltas, key)
-        updates, opt_state = opt.update(grads, opt_state, deltas)
-        deltas = optax.apply_updates(deltas, updates)
-        # per-layer L2 clamp vs |z0|
-        deltas = {
-            name: (jnp.where(
-                jnp.linalg.norm(d) > hp.clamp_norm_factor
-                * jnp.linalg.norm(z0[name][0]),
-                d * hp.clamp_norm_factor * jnp.linalg.norm(z0[name][0])
-                / jnp.maximum(jnp.linalg.norm(d), 1e-12),
-                d,
-            ),)
-            for name, (d,) in deltas.items()
-        }
-        return (deltas, opt_state), loss
-
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    carry = (deltas0, opt_state)
+    all_keys = jax.random.split(rng, hp.v_num_grad_steps)
+    # host-chunked for the tunnel watchdog (same pattern as ZOptimizer.run)
+    import os as _os
+
+    chunk = max(1, min(int(_os.environ.get("EMCID_TPU_Z_CHUNK", 20)),
+                       hp.v_num_grad_steps or 1))
+    if jax.default_backend() not in ("cpu",):
+        try:
+            from emcid_tpu.profiling import unet_fwd_flops
+
+            hw = lat_mean.shape[-2]
+            est_s = 3.0 * unet_fwd_flops(unet.config, P, hw) / 50e12
+            chunk = max(1, min(chunk, int(15.0 / max(est_s, 1e-3))))
+        except Exception:
+            pass
+    carry = (deltas0, opt.init(deltas0))
     losses = []
-    for key in jax.random.split(rng, hp.v_num_grad_steps):
-        carry, loss = step(carry, key)
-        losses.append(float(loss))
+    for start in range(0, hp.v_num_grad_steps, chunk):
+        keys = all_keys[start:start + chunk]
+        carry, chunk_losses = run_chunk(pu, data, carry, keys)
+        np.asarray(chunk_losses[-1])  # surface device faults here
+        losses.extend(np.asarray(chunk_losses).tolist())
     deltas, _ = carry
     if verbose and losses:
         print(f"x-kv z opt: loss {losses[0]:.5f} -> {losses[-1]:.5f}")

@@ -251,27 +251,44 @@ def capture_module_inputs(
     ipath = _intermediate_path(module_name, kind)
     leaf = _SOW_LEAF[kind]
 
+    # params enter as jit ARGUMENTS (a closure-captured UNet is baked into
+    # the program as 3.4 GB of constants at SD shapes — observed to crash
+    # the remote compiler); all timesteps run in ONE scanned program
     @jax.jit
-    def one(t, key):
-        k1, k2 = jax.random.split(key)
-        latents = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
-            k1, mean.shape, mean.dtype)
-        noise = jax.random.normal(k2, latents.shape, latents.dtype)
-        ts = jnp.full((latents.shape[0],), t, jnp.int32)
-        noisy = add_noise(components.schedule, latents, noise, ts)
-        _, state = components.unet.apply(
-            {"params": components.unet_params}, noisy, ts, ctx,
-            mutable=["intermediates"],
-        )
-        node = state["intermediates"]
+    def sweep(unet_params, mean, logvar, ctx, ts_arr, keys):
+        def one(acc, tk):
+            t, key = tk
+            k1, k2 = jax.random.split(key)
+            latents = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                k1, mean.shape, mean.dtype)
+            noise = jax.random.normal(k2, latents.shape, latents.dtype)
+            ts = jnp.full((latents.shape[0],), t, jnp.int32)
+            noisy = add_noise(components.schedule, latents, noise, ts)
+            _, state = components.unet.apply(
+                {"params": unet_params}, noisy, ts, ctx,
+                mutable=["intermediates"],
+            )
+            node = state["intermediates"]
+            for p in ipath:
+                node = node[p]
+            return acc + node[leaf][0], None
+
+        shape = jax.eval_shape(
+            lambda: components.unet.apply(
+                {"params": unet_params},
+                mean, jnp.zeros((mean.shape[0],), jnp.int32), ctx,
+                mutable=["intermediates"])[1])
+        node = shape["intermediates"]
         for p in ipath:
             node = node[p]
-        return node[leaf][0]
+        acc0 = jnp.zeros(node[leaf][0].shape, jnp.float32)
+        acc, _ = jax.lax.scan(one, acc0, (ts_arr, keys))
+        return acc
 
-    acc = None
-    for i, t in enumerate(timesteps):
-        val = one(jnp.asarray(int(t)), jax.random.fold_in(rng, i))
-        acc = val if acc is None else acc + val
+    keys = jnp.stack([jax.random.fold_in(rng, i)
+                      for i in range(len(timesteps))])
+    acc = sweep(components.unet_params, mean, logvar, ctx,
+                jnp.asarray(list(timesteps), jnp.int32), keys)
     acc = acc / len(timesteps)
     if acc.ndim == 4:  # conv input NHWC → (B, H*W, C)
         B, H, W, C = acc.shape
@@ -327,62 +344,99 @@ def compute_delta_unet(
         (region_mask.shape[0], side, side), "nearest",
     ).reshape(region_mask.shape[0], N, 1)
 
-    unet, pu = components.unet, components.unet_params
+    unet = components.unet
     opt = optax.adam(hp.v_lr)
 
-    if hp.objective == "esd":
-        empty_ctx = encode_prompts(components, [""] * P)
+    empty_ctx = (encode_prompts(components, [""] * P)
+                 if hp.objective == "esd" else None)
 
-    def loss_fn(delta, key):
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        latents = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
-            k1, mean.shape, mean.dtype)
-        noise = jax.random.normal(k2, latents.shape, latents.dtype)
-        ts = jax.random.randint(k3, (P,), 0, n_ts)
-        block = jnp.clip(ts[0] // block_size, 0, hp.num_t_blocks - 1)
-        noisy = add_noise(components.schedule, latents, noise, ts)
-        inj = mask * delta[block][None, None, :]  # (B, N, C_out)
+    # params/activations enter as jit ARGUMENTS (a closure-captured UNet
+    # is baked into the program as 3.4 GB of constants at SD shapes) and
+    # the step loop is scanned + host-chunked (the old per-step
+    # float(loss) paid a ~0.5 s host round-trip per step on the tunnel)
+    from functools import partial
 
-        @jax.checkpoint
-        def fwd_inject(ctx):
-            return unet.apply(
-                {"params": pu}, noisy, ts, ctx, inject={inject_path: inj},
-            ).sample
+    @partial(jax.jit, static_argnames=())
+    def run_chunk(pu, data, carry, keys):
+        def loss_fn(delta, key):
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            latents = data["mean"] + jnp.exp(
+                0.5 * data["logvar"]) * jax.random.normal(
+                k1, data["mean"].shape, data["mean"].dtype)
+            noise = jax.random.normal(k2, latents.shape, latents.dtype)
+            ts = jax.random.randint(k3, (P,), 0, n_ts)
+            block = jnp.clip(ts[0] // block_size, 0, hp.num_t_blocks - 1)
+            noisy = add_noise(components.schedule, latents, noise, ts)
+            inj = data["mask"] * delta[block][None, None, :]  # (B, N, C)
 
-        @jax.checkpoint
-        def fwd_plain(ctx):
-            return unet.apply({"params": pu}, noisy, ts, ctx).sample
+            @jax.checkpoint
+            def fwd_inject(ctx):
+                return unet.apply(
+                    {"params": pu}, noisy, ts, ctx,
+                    inject={inject_path: inj},
+                ).sample
 
-        eps_edit = fwd_inject(ctx)
-        if hp.objective == "esd":
-            eps_dst = jax.lax.stop_gradient(fwd_plain(empty_ctx))
-            eps_src = jax.lax.stop_gradient(fwd_plain(ctx))
-            mu = float(hp.esd_mu) if hp.esd_mu not in (None, "None") else 1.0
-            target = eps_dst - mu * (eps_src - eps_dst)
-        else:  # ablate-source: push masked region toward pure noise
-            target = noise
-        lat_mask = jax.image.resize(
-            jnp.asarray(region_mask, jnp.float32),
-            (region_mask.shape[0],) + mean.shape[1:3], "nearest",
-        )[..., None]
-        mse = jnp.sum(((eps_edit - target) * lat_mask) ** 2) / jnp.maximum(
-            jnp.sum(lat_mask), 1.0)
-        reg = hp.v_weight_decay * jnp.sqrt(jnp.sum(delta**2) + 1e-12)
-        return mse + reg
+            @jax.checkpoint
+            def fwd_plain(ctx):
+                return unet.apply({"params": pu}, noisy, ts, ctx).sample
 
-    @jax.jit
-    def step(delta, opt_state, key):
-        loss, g = jax.value_and_grad(loss_fn)(delta, key)
-        updates, opt_state = opt.update(g, opt_state, delta)
-        return optax.apply_updates(delta, updates), opt_state, loss
+            eps_edit = fwd_inject(data["ctx"])
+            if hp.objective == "esd":
+                eps_dst = jax.lax.stop_gradient(fwd_plain(data["empty_ctx"]))
+                eps_src = jax.lax.stop_gradient(fwd_plain(data["ctx"]))
+                mu = (float(hp.esd_mu)
+                      if hp.esd_mu not in (None, "None") else 1.0)
+                target = eps_dst - mu * (eps_src - eps_dst)
+            else:  # ablate-source: push masked region toward pure noise
+                target = noise
+            mse = jnp.sum(((eps_edit - target) * data["lat_mask"]) ** 2
+                          ) / jnp.maximum(jnp.sum(data["lat_mask"]), 1.0)
+            reg = hp.v_weight_decay * jnp.sqrt(jnp.sum(delta**2) + 1e-12)
+            return mse + reg
+
+        def step(carry, key):
+            delta, opt_state = carry
+            loss, g = jax.value_and_grad(loss_fn)(delta, key)
+            updates, opt_state = opt.update(g, opt_state, delta)
+            return (optax.apply_updates(delta, updates), opt_state), loss
+
+        return jax.lax.scan(step, carry, keys)
+
+    lat_mask = jax.image.resize(
+        jnp.asarray(region_mask, jnp.float32),
+        (region_mask.shape[0],) + mean.shape[1:3], "nearest",
+    )[..., None]
+    data = dict(mean=mean, logvar=logvar, ctx=ctx, mask=mask,
+                lat_mask=lat_mask)
+    if empty_ctx is not None:
+        data["empty_ctx"] = jnp.asarray(empty_ctx)
 
     delta = jnp.zeros((hp.num_t_blocks, C_out), jnp.float32)
-    opt_state = opt.init(delta)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    all_keys = jax.random.split(rng, hp.v_num_grad_steps)
+    import os as _os
+
+    chunk = max(1, min(int(_os.environ.get("EMCID_TPU_Z_CHUNK", 20)),
+                       hp.v_num_grad_steps or 1))
+    if jax.default_backend() not in ("cpu",):
+        try:
+            from emcid_tpu.profiling import unet_fwd_flops
+
+            fwd_eq = 4.0 if hp.objective == "esd" else 3.0
+            est_s = fwd_eq * unet_fwd_flops(
+                unet.config, P, mean.shape[-2]) / 50e12
+            chunk = max(1, min(chunk, int(15.0 / max(est_s, 1e-3))))
+        except Exception:
+            pass
+    carry = (delta, opt.init(delta))
     losses = []
-    for key in jax.random.split(rng, hp.v_num_grad_steps):
-        delta, opt_state, loss = step(delta, opt_state, key)
-        losses.append(float(loss))
+    for start in range(0, hp.v_num_grad_steps, chunk):
+        keys = all_keys[start:start + chunk]
+        carry, chunk_losses = run_chunk(components.unet_params, data,
+                                        carry, keys)
+        np.asarray(chunk_losses[-1])  # surface device faults here
+        losses.extend(np.asarray(chunk_losses).tolist())
+    delta, _ = carry
     if verbose and losses:
         print(f"unet delta opt: loss {losses[0]:.5f} -> {losses[-1]:.5f}")
     return np.asarray(delta)

@@ -195,6 +195,113 @@ def generate_sdxl(components: SDXLComponents, prompts, seeds,
     return decode_latents(fake, lat)
 
 
+def load_sdxl_pipeline(ckpt_dir, dtype=jnp.bfloat16,
+                       param_dtype=jnp.bfloat16,
+                       unet_config=None, vae_config=None) -> SDXLComponents:
+    """HF-diffusers-format SDXL checkpoint directory → SDXLComponents
+    (reference run_emcid.py SDXL branch loads
+    stabilityai/stable-diffusion-xl-base-1.0 via from_pretrained).
+
+    ``param_dtype`` defaults to bf16: f32 SDXL params are 10.4 GB for the
+    2.6B UNet alone and starve a 16 GB v5e before any activation is
+    allocated (measured — every phase of the first SDXL probe
+    RESOURCE_EXHAUSTED; PERF.md round 4).  The cast happens on the HOST
+    after conversion, so no 15.6 GB device transient either.  Pass
+    ``param_dtype=jnp.float32`` to keep f32 master weights when HBM
+    allows (multi-chip, or the 95 GB v5p).
+    """
+    import json as _json
+
+    from emcid_tpu.models.configs import CLIPTextConfig
+    from emcid_tpu.models.convert_hf import (
+        clip_text_from_torch, unet_from_torch, vae_from_torch,
+    )
+    from emcid_tpu.models.loader import _load_torch_state_dict
+    from emcid_tpu.text.tokenizer import CLIPBPETokenizer
+
+    from pathlib import Path
+
+    ckpt = Path(ckpt_dir)
+
+    def text_cfg(sub, default):
+        f = ckpt / sub / "config.json"
+        if not f.exists():
+            return default
+        with open(f) as fh:
+            c = _json.load(fh)
+        return CLIPTextConfig(
+            vocab_size=c.get("vocab_size", default.vocab_size),
+            hidden_size=c.get("hidden_size", default.hidden_size),
+            intermediate_size=c.get("intermediate_size",
+                                    default.intermediate_size),
+            num_hidden_layers=c.get("num_hidden_layers",
+                                    default.num_hidden_layers),
+            num_attention_heads=c.get("num_attention_heads",
+                                      default.num_attention_heads),
+            max_position_embeddings=c.get("max_position_embeddings", 77),
+            hidden_act=c.get("hidden_act", default.hidden_act),
+            eos_token_id=c.get("eos_token_id", default.eos_token_id),
+            projection_dim=(c.get("projection_dim", default.projection_dim)
+                            if default.projection_dim is not None or
+                            "WithProjection" in str(c.get("architectures"))
+                            else None),
+        )
+
+    def cast(tree):
+        def one(x):
+            a = np.asarray(x)
+            if np.issubdtype(a.dtype, np.floating):
+                a = a.astype(param_dtype)
+            return a
+        return jax.tree.map(one, tree)
+
+    cfg1 = text_cfg("text_encoder", SDXL_TEXT_1)
+    cfg2 = text_cfg("text_encoder_2", SDXL_TEXT_2)
+    # context length follows the encoder (77 for real SDXL; smaller for
+    # synthetic checkpoints in tests)
+    tokenizer = CLIPBPETokenizer.from_pretrained_dir(
+        ckpt / "tokenizer",
+        model_max_length=cfg1.max_position_embeddings)
+    text1 = CLIPTextEncoder(cfg1, dtype=dtype)
+    p1 = cast(clip_text_from_torch(
+        _load_torch_state_dict(ckpt / "text_encoder")))
+    text2 = CLIPTextEncoder(cfg2, dtype=dtype)
+    p2 = cast(clip_text_from_torch(
+        _load_torch_state_dict(ckpt / "text_encoder_2")))
+
+    unet = UNet2DCondition(unet_config or sdxl_unet(), dtype=dtype)
+    # template init on the host CPU backend: eager device init of the 2.6B
+    # tree would both round-trip the tunnel and waste HBM on f32 templates
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        unet_template = unet.init_params(jax.random.PRNGKey(0))
+        vae = AutoencoderKL(vae_config or sdxl_vae(), dtype=dtype)
+        vae_template = vae.init_params(jax.random.PRNGKey(0),
+                                       image_size=128)
+    pu = cast(unet_from_torch(_load_torch_state_dict(ckpt / "unet"),
+                              unet_template))
+    pv = cast(vae_from_torch(_load_torch_state_dict(ckpt / "vae"),
+                             vae_template))
+    # spatial scale and latent scaling follow the VAE architecture, not the
+    # SDXL defaults (synthetic/tiny checkpoints have fewer down blocks);
+    # the checkpoint's own vae/config.json wins when present (diffusers
+    # stores scaling_factor there)
+    vae_scale = 2 ** (len(vae.config.block_out_channels) - 1)
+    scaling = vae.config.scaling_factor
+    vae_cfg_file = ckpt / "vae" / "config.json"
+    if vae_cfg_file.exists():
+        with open(vae_cfg_file) as fh:
+            scaling = _json.load(fh).get("scaling_factor", scaling)
+    return SDXLComponents(
+        tokenizer=tokenizer,
+        text_encoder=text1, text_params=p1,
+        text_encoder_2=text2, text_params_2=p2,
+        unet=unet, unet_params=pu, vae=vae, vae_params=pv,
+        scaling_factor=scaling,
+        vae_scale=vae_scale,
+    )
+
+
 def build_tiny_sdxl_pipeline(seed: int = 0, words=None) -> SDXLComponents:
     """Tiny random SDXL-style pipeline: two small encoders (16+16 → 32
     context), text_time UNet, vae_scale 2."""

@@ -79,11 +79,17 @@ def main():
     log(f"params uploaded bf16; bytes_in_use="
         f"{stats.get('bytes_in_use', 'n/a')}")
 
+    import os
+
     from emcid_tpu.models.sdxl import sample_latents_sdxl
 
     prompts = ["a photo of a w1"]
     seeds = [0]
+    if os.environ.get("SDXL_PROF_SKIP_GEN"):
+        log("skipping gen phases (SDXL_PROF_SKIP_GEN)")
     try:
+        if os.environ.get("SDXL_PROF_SKIP_GEN"):
+            raise RuntimeError("skipped")
         log("warm-up 1024x1024 latent sampling (compile)")
         lat = sample_latents_sdxl(xl, prompts, seeds, height=1024,
                                   width=1024, num_inference_steps=25,
@@ -102,6 +108,8 @@ def main():
         log(f"SDXL latent sampling FAILED: {type(e).__name__}: "
             f"{str(e)[:200]}")
     try:
+        if os.environ.get("SDXL_PROF_SKIP_GEN"):
+            raise RuntimeError("skipped")
         log("warm-up 1024x1024 full generation incl VAE decode (compile)")
         imgs = generate_sdxl(xl, prompts, seeds, height=1024, width=1024,
                              num_inference_steps=25, sampler="dpm++",
@@ -118,7 +126,8 @@ def main():
         log(f"SDXL full gen (decode) FAILED: {type(e).__name__}: "
             f"{str(e)[:200]}")
 
-    C, P = 2, 3
+    C = int(os.environ.get("SDXL_PROF_C", 2))
+    P = int(os.environ.get("SDXL_PROF_P", 3))
     reqs = [
         {"prompts": ["a photo of a {}", "an image of a {}", "{}"],
          "source": f"w{i}", "dest": f"w{i + 1}", "seed_train": i}

@@ -34,6 +34,24 @@ import emcid_tpu.models.loader as _loader
 import emcid_tpu.models.sdxl as _sdxl
 
 _BTP_CACHE = {}
+_BTP_SUMS = {}
+
+
+def _param_checksum(comps):
+    # cheap order-stable digest over every param leaf (float sums are
+    # deterministic here: same arrays, same reduction order)
+    import jax
+
+    total = 0.0
+    for field in ("text_params", "text_params_2", "unet_params",
+                  "vae_params"):
+        tree = getattr(comps, field, None)
+        if tree is not None:
+            for leaf in jax.tree.leaves(tree):
+                total += float(np.sum(np.asarray(leaf, np.float64)))
+    return total
+
+
 for _mod, _name in ((_loader, "build_tiny_pipeline"),
                     (_sdxl, "build_tiny_sdxl_pipeline")):
     _orig = getattr(_mod, _name)
@@ -42,9 +60,23 @@ for _mod, _name in ((_loader, "build_tiny_pipeline"),
         key = (__name, seed, tuple(words or ()))
         if key not in _BTP_CACHE:
             _BTP_CACHE[key] = __orig(seed=seed, words=words)
+            _BTP_SUMS[key] = _param_checksum(_BTP_CACHE[key])
         return _BTP_CACHE[key]
 
     setattr(_mod, _name, _cached)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    # the memo is only sound while the shared components stay immutable
+    # (edits must go through replace_*); an in-place param mutation
+    # anywhere would silently couple ~30 test modules — fail loudly here
+    for key, expect in _BTP_SUMS.items():
+        got = _param_checksum(_BTP_CACHE[key])
+        if got != expect:
+            raise RuntimeError(
+                f"shared tiny pipeline {key} was mutated in place "
+                f"(param checksum {expect!r} -> {got!r}); some test "
+                "bypassed the functional replace_* path")
 
 
 @pytest.fixture

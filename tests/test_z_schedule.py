@@ -76,6 +76,7 @@ def test_const_schedule_is_deterministic_reference_path(comps):
     assert l1[-4:].mean() < l1[:4].mean()
 
 
+@pytest.mark.slow
 def test_cosine_runs_fewer_steps_same_regime(comps):
     hp = EMCIDHyperParams.from_dict(HP)  # 50 steps -> engages
     zs_c, d_c, l_c = _run(comps, hp, lr_sched="cosine", z_frac=0.6,
@@ -92,6 +93,7 @@ def test_cosine_runs_fewer_steps_same_regime(comps):
     assert cos > 0.7, f"cosine z diverges from const (cos={cos:.3f})"
 
 
+@pytest.mark.slow
 def test_cosine_leaves_small_runs_alone(comps):
     """Tiny smoke runs (< 50 steps) must stay reference-exact even with
     the cosine schedule selected."""
@@ -102,6 +104,7 @@ def test_cosine_leaves_small_runs_alone(comps):
     assert l_c.shape == (8,)
 
 
+@pytest.mark.slow
 def test_cosine_ignores_replay_override(comps):
     """The record/replay seam (RNG parity with the reference) bypasses the
     schedule: overrides force the const path."""
