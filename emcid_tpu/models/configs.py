@@ -127,6 +127,59 @@ def sdxl_unet() -> UNetConfig:
     )
 
 
+def unet_config_from_diffusers(c: dict) -> UNetConfig:
+    """Map a diffusers ``unet/config.json`` dict onto UNetConfig, so
+    checkpoint loading isn't hardwired to the SD-v1.4/SDXL presets
+    (SD v1.5 / v2 / finetunes carry the same schema)."""
+    n_levels = len(c.get("block_out_channels", (320, 640, 1280, 1280)))
+
+    def per_level(v, default):
+        if v is None:
+            v = default
+        if isinstance(v, int):
+            return (v,) * n_levels
+        return tuple(v)
+
+    return UNetConfig(
+        in_channels=c.get("in_channels", 4),
+        out_channels=c.get("out_channels", 4),
+        sample_size=c.get("sample_size", 64),
+        block_out_channels=tuple(c.get("block_out_channels",
+                                       (320, 640, 1280, 1280))),
+        layers_per_block=c.get("layers_per_block", 2),
+        down_block_types=tuple(c.get("down_block_types",
+                                     UNetConfig.down_block_types)),
+        up_block_types=tuple(c.get("up_block_types",
+                                   UNetConfig.up_block_types)),
+        attention_head_dim=per_level(c.get("attention_head_dim"), 8),
+        transformer_layers_per_block=per_level(
+            c.get("transformer_layers_per_block"), 1),
+        cross_attention_dim=c.get("cross_attention_dim", 768),
+        norm_num_groups=c.get("norm_num_groups", 32),
+        freq_shift=c.get("freq_shift", 0),
+        flip_sin_to_cos=c.get("flip_sin_to_cos", True),
+        addition_embed_type=c.get("addition_embed_type"),
+        addition_time_embed_dim=c.get("addition_time_embed_dim"),
+        projection_class_embeddings_input_dim=c.get(
+            "projection_class_embeddings_input_dim"),
+    )
+
+
+def vae_config_from_diffusers(c: dict) -> VAEConfig:
+    """Map a diffusers ``vae/config.json`` dict onto VAEConfig."""
+    return VAEConfig(
+        in_channels=c.get("in_channels", 3),
+        out_channels=c.get("out_channels", 3),
+        latent_channels=c.get("latent_channels", 4),
+        block_out_channels=tuple(c.get("block_out_channels",
+                                       (128, 256, 512, 512))),
+        layers_per_block=c.get("layers_per_block", 2),
+        norm_num_groups=c.get("norm_num_groups", 32),
+        sample_size=c.get("sample_size", 512),
+        scaling_factor=c.get("scaling_factor", 0.18215),
+    )
+
+
 def tiny_unet(cross_attention_dim: int = 32) -> UNetConfig:
     """2-level tiny UNet for tests."""
     return UNetConfig(

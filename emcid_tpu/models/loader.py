@@ -75,7 +75,6 @@ def _load_torch_state_dict(folder: Path) -> Dict[str, Any]:
 def load_pipeline(ckpt_dir, dtype=jnp.bfloat16) -> SDComponents:
     """HF-format local checkpoint directory → SDComponents."""
     ckpt = Path(ckpt_dir)
-    tokenizer = CLIPBPETokenizer.from_pretrained_dir(ckpt / "tokenizer")
 
     text_cfg = SD_V14_TEXT
     cfg_file = ckpt / "text_encoder" / "config.json"
@@ -92,18 +91,39 @@ def load_pipeline(ckpt_dir, dtype=jnp.bfloat16) -> SDComponents:
             hidden_act=c.get("hidden_act", "quick_gelu"),
             eos_token_id=c.get("eos_token_id", 49407),
         )
+    # context length follows the encoder (77 for real SD; a longer
+    # tokenizer pad would index past the position-embedding table)
+    tokenizer = CLIPBPETokenizer.from_pretrained_dir(
+        ckpt / "tokenizer",
+        model_max_length=text_cfg.max_position_embeddings)
     text = CLIPTextEncoder(text_cfg, dtype=dtype)
     text_params = clip_text_from_torch(
         _load_torch_state_dict(ckpt / "text_encoder")
     )
 
-    unet = UNet2DCondition(sd_v14_unet(), dtype=dtype)
+    # architecture follows the checkpoint's own config when present
+    # (SD v1.5 / v2 / finetunes share the diffusers schema)
+    unet_cfg = sd_v14_unet()
+    ucf = ckpt / "unet" / "config.json"
+    if ucf.exists():
+        from emcid_tpu.models.configs import unet_config_from_diffusers
+
+        with open(ucf) as f:
+            unet_cfg = unet_config_from_diffusers(json.load(f))
+    unet = UNet2DCondition(unet_cfg, dtype=dtype)
     unet_template = unet.init_params(jax.random.PRNGKey(0))
     unet_params = unet_from_torch(
         _load_torch_state_dict(ckpt / "unet"), unet_template
     )
 
-    vae = AutoencoderKL(sd_vae(), dtype=dtype)
+    vae_cfg = sd_vae()
+    vcf = ckpt / "vae" / "config.json"
+    if vcf.exists():
+        from emcid_tpu.models.configs import vae_config_from_diffusers
+
+        with open(vcf) as f:
+            vae_cfg = vae_config_from_diffusers(json.load(f))
+    vae = AutoencoderKL(vae_cfg, dtype=dtype)
     vae_template = vae.init_params(jax.random.PRNGKey(0), image_size=64)
     vae_params = vae_from_torch(_load_torch_state_dict(ckpt / "vae"),
                                 vae_template)
@@ -112,6 +132,8 @@ def load_pipeline(ckpt_dir, dtype=jnp.bfloat16) -> SDComponents:
         tokenizer=tokenizer, text_encoder=text, text_params=text_params,
         unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
         schedule=sd_schedule(),
+        scaling_factor=vae_cfg.scaling_factor,
+        vae_scale=2 ** (len(vae_cfg.block_out_channels) - 1),
     )
 
 

@@ -269,13 +269,31 @@ def load_sdxl_pipeline(ckpt_dir, dtype=jnp.bfloat16,
     p2 = cast(clip_text_from_torch(
         _load_torch_state_dict(ckpt / "text_encoder_2")))
 
-    unet = UNet2DCondition(unet_config or sdxl_unet(), dtype=dtype)
+    if unet_config is None:
+        ucf = ckpt / "unet" / "config.json"
+        if ucf.exists():
+            from emcid_tpu.models.configs import unet_config_from_diffusers
+
+            with open(ucf) as fh:
+                unet_config = unet_config_from_diffusers(_json.load(fh))
+        else:
+            unet_config = sdxl_unet()
+    if vae_config is None:
+        vcf = ckpt / "vae" / "config.json"
+        if vcf.exists():
+            from emcid_tpu.models.configs import vae_config_from_diffusers
+
+            with open(vcf) as fh:
+                vae_config = vae_config_from_diffusers(_json.load(fh))
+        else:
+            vae_config = sdxl_vae()
+    unet = UNet2DCondition(unet_config, dtype=dtype)
     # template init on the host CPU backend: eager device init of the 2.6B
     # tree would both round-trip the tunnel and waste HBM on f32 templates
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         unet_template = unet.init_params(jax.random.PRNGKey(0))
-        vae = AutoencoderKL(vae_config or sdxl_vae(), dtype=dtype)
+        vae = AutoencoderKL(vae_config, dtype=dtype)
         vae_template = vae.init_params(jax.random.PRNGKey(0),
                                        image_size=128)
     pu = cast(unet_from_torch(_load_torch_state_dict(ckpt / "unet"),

@@ -67,13 +67,18 @@ def test_load_sdxl_roundtrip(tmp_path):
          _text_config_json(xl.text_encoder.config, False))
     save("text_encoder_2", clip_text_to_torch(xl.text_params_2),
          _text_config_json(xl.text_encoder_2.config, True))
-    save("unet", unet_to_torch(xl.unet_params))
+    # architecture configs ship as diffusers-format config.json — the
+    # loader must rebuild UNetConfig/VAEConfig from them (models.configs
+    # unet_config_from_diffusers / vae_config_from_diffusers)
+    save("unet", unet_to_torch(xl.unet_params),
+         dataclasses.asdict(xl.unet.config))
     save("vae", vae_to_torch(xl.vae_params),
-         {"scaling_factor": xl.scaling_factor})
+         dict(dataclasses.asdict(xl.vae.config),
+              scaling_factor=xl.scaling_factor))
 
-    loaded = load_sdxl_pipeline(
-        ckpt, dtype=jnp.float32, param_dtype=jnp.float32,
-        unet_config=xl.unet.config, vae_config=xl.vae.config)
+    loaded = load_sdxl_pipeline(ckpt, dtype=jnp.float32,
+                                param_dtype=jnp.float32)
+    assert loaded.unet.config == xl.unet.config
     assert loaded.scaling_factor == xl.scaling_factor
     assert loaded.vae_scale == xl.vae_scale
     assert loaded.tokenizer.model_max_length == \
@@ -94,11 +99,54 @@ def test_load_sdxl_roundtrip(tmp_path):
     # requirement measured in PERF.md round 4)
     import jax
 
-    loaded16 = load_sdxl_pipeline(
-        ckpt, unet_config=xl.unet.config, vae_config=xl.vae.config)
+    loaded16 = load_sdxl_pipeline(ckpt)
     for leaf in jax.tree.leaves(loaded16.unet_params):
         a = np.asarray(leaf)
         assert a.dtype != np.float32, "f32 leaf survived param_dtype=bf16"
+
+
+def test_load_sd_pipeline_reads_checkpoint_configs(tmp_path):
+    """load_pipeline (SD leg) rebuilds the UNet/VAE architecture from the
+    checkpoint's own diffusers config.json instead of assuming SD-v1.4."""
+    import torch
+
+    from emcid_tpu.models.convert_hf import (
+        clip_text_to_torch, unet_to_torch, vae_to_torch,
+    )
+    from emcid_tpu.models.loader import build_tiny_pipeline, load_pipeline
+    from emcid_tpu.models.pipeline import generate
+
+    sd = build_tiny_pipeline(seed=0, words=["cat", "dog"])
+    ckpt = tmp_path / "sd"
+    _save_tokenizer(sd.tokenizer, ckpt / "tokenizer")
+
+    def save(sub, state, cfg=None):
+        d = ckpt / sub
+        d.mkdir(parents=True, exist_ok=True)
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in state.items()},
+                   d / "diffusion_pytorch_model.bin")
+        if cfg is not None:
+            (d / "config.json").write_text(json.dumps(cfg))
+
+    save("text_encoder", clip_text_to_torch(sd.text_params),
+         _text_config_json(sd.text_encoder.config, False))
+    save("unet", unet_to_torch(sd.unet_params),
+         dataclasses.asdict(sd.unet.config))
+    save("vae", vae_to_torch(sd.vae_params),
+         dict(dataclasses.asdict(sd.vae.config),
+              scaling_factor=sd.scaling_factor))
+
+    loaded = load_pipeline(ckpt, dtype=jnp.float32)
+    assert loaded.unet.config == sd.unet.config
+    assert loaded.scaling_factor == sd.scaling_factor
+    assert loaded.vae_scale == sd.vae_scale
+    res = loaded.unet.config.sample_size * loaded.vae_scale
+    a = generate(sd, ["a photo of cat"], [0], height=res, width=res,
+                 num_inference_steps=2)
+    b = generate(loaded, ["a photo of cat"], [0], height=res, width=res,
+                 num_inference_steps=2)
+    np.testing.assert_array_equal(a, b)
 
 
 def test_cli_sdxl_checkpoint_dir_arg_error(tmp_path):
