@@ -204,7 +204,13 @@ class ZOptimizer:
     #            recompute forward disappears — per-step cost drops from ~4
     #            to ~3 forward-equivalents IF the activations fit HBM);
     #   "dots" — checkpoint_dots policy: save matmul outputs, recompute the
-    #            elementwise glue (middle ground).
+    #            elementwise glue (middle ground);
+    #   "level0" — selective: recompute only the FULL-RESOLUTION block
+    #            interiors (checkpoint_name seams in models/unet.py), store
+    #            the rest — the level-0 interiors are most of residual HBM
+    #            for ~13% of a forward's FLOPs, targeting C=12-16 blocks
+    #            (PERF.md round-2 candidate #3; opt-in until measured
+    #            on-chip).
     # Measured on v5e (C=8, P=3, SD shapes, bf16): "none" fits 15.75 GB HBM
     # and runs 1.23x faster than "full" (1.03 vs 1.27 s/step) — flash
     # attention's custom_vjp already recomputes the N^2 internals, so stored
@@ -400,9 +406,12 @@ class ZOptimizer:
             # (w.r.t. the text context): see the ``remat`` field.  Flash
             # attention internals always recompute (custom_vjp), so "none"
             # stores only conv/dense inputs.
+            tag_hw = (noisy.shape[1] if self.remat == "level0" else 0)
+
             def unet_fwd(ctx, noisy, timesteps):
                 return self.unet.apply(
-                    {"params": unet_params}, noisy, timesteps, ctx
+                    {"params": unet_params}, noisy, timesteps, ctx,
+                    remat_tag_hw=tag_hw,
                 ).sample
 
             if self.remat == "full":
@@ -411,6 +420,18 @@ class ZOptimizer:
                 unet_fwd = jax.checkpoint(
                     unet_fwd,
                     policy=jax.checkpoint_policies.checkpoint_dots,
+                )
+            elif self.remat == "level0":
+                # selective remat: store everything EXCEPT the full-resolution
+                # block interiors (models/unet.py remat_tag_hw) — they are the
+                # bulk of residual HBM but cheap to recompute (the flash
+                # custom_vjp already recomputes the N^2 internals, and the
+                # stored attention output keeps the pallas forward itself
+                # from re-running)
+                unet_fwd = jax.checkpoint(
+                    unet_fwd,
+                    policy=jax.checkpoint_policies
+                    .save_anything_except_these_names("unet_interior"),
                 )
             elif self.remat != "none":
                 raise ValueError(f"unknown remat policy {self.remat!r}")
@@ -668,9 +689,12 @@ class ZOptimizer:
                     # fit in HBM from the start.
                     if not _is_hbm_exhausted(e) or self.remat == "full":
                         raise
+                    # escalation ladder: "none" -> "level0" (recompute only
+                    # the full-res interiors, ~+7% step) -> "full" (+~25%)
+                    nxt = "level0" if self.remat == "none" else "full"
                     print(f"[emcid_tpu] stage-1 remat={self.remat!r} "
-                          "exhausted HBM; retrying with remat='full'")
-                    self.remat = "full"
+                          f"exhausted HBM; retrying with remat={nxt!r}")
+                    self.remat = nxt
                     self._run = jax.jit(self._run_impl,
                                         static_argnames=("steps",))
             losses_all.append(losses)

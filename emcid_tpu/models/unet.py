@@ -61,29 +61,44 @@ def _inject_out(inject: Optional[Dict[str, jnp.ndarray]], name: str,
     return value
 
 
+def _tag(x: jnp.ndarray, on: bool) -> jnp.ndarray:
+    """Selective-remat seam: mark ``x`` with ``checkpoint_name`` so a
+    names-based ``jax.checkpoint`` policy (``save_anything_except_these_names
+    ("unet_interior")``) recomputes it in the backward instead of storing it.
+    A plain identity when ``on`` is False — the default jaxpr (and thus every
+    compiled-program cache key) is unchanged unless a caller opts in via
+    ``remat_tag_hw``."""
+    if not on:
+        return x
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, "unet_interior")
+
+
 class ResnetBlock2D(nn.Module):
     out_channels: int
     norm_num_groups: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, *, path: str = "", inject=None):
-        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5,
-                         dtype=self.dtype, name="norm1")(x)
-        h = jax.nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, name="conv1")(h)
+    def __call__(self, x, temb, *, path: str = "", inject=None,
+                 tag: bool = False):
+        h = _tag(nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5,
+                              dtype=self.dtype, name="norm1")(x), tag)
+        h = _tag(jax.nn.silu(h), tag)
+        h = _tag(nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                         dtype=self.dtype, name="conv1")(h), tag)
         t = nn.Dense(self.out_channels, dtype=self.dtype,
                      name="time_emb_proj")(jax.nn.silu(temb))
-        h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5,
-                         dtype=self.dtype, name="norm2")(h)
-        h = jax.nn.silu(h)
+        h = _tag(h + t[:, None, None, :], tag)
+        h = _tag(nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5,
+                              dtype=self.dtype, name="norm2")(h), tag)
+        h = _tag(jax.nn.silu(h), tag)
         # conv2 is an editable layer (UNET_EDIT_TEMPLATES "conv-res")
         self.sow("intermediates", "conv2_in", h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv2")(h)
-        h = _inject_out(inject, f"{path}.conv2", h)
+        h = _tag(_inject_out(inject, f"{path}.conv2", h), tag)
         self.sow("intermediates", "conv2_out", h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
@@ -98,7 +113,8 @@ class CrossAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, *, path: str = "", inject=None):
+    def __call__(self, x, context=None, *, path: str = "", inject=None,
+                 tag: bool = False):
         ctx = x if context is None else context
         inner = x.shape[-1]
         head_dim = inner // self.num_heads
@@ -114,9 +130,13 @@ class CrossAttention(nn.Module):
         self.sow("intermediates", "v_out", v)
         B, N, _ = x.shape
         M = ctx.shape[1]
-        q = q.reshape(B, N, self.num_heads, head_dim)
-        k = k.reshape(B, M, self.num_heads, head_dim)
-        v = v.reshape(B, M, self.num_heads, head_dim)
+        # tag only the SELF-attention q/k/v (context is the spatial stream):
+        # cross-attn k/v are (B, 77, C) — small, and recomputing them would
+        # re-run the text-side dense from the saved context anyway
+        tg = tag and context is None
+        q = _tag(q.reshape(B, N, self.num_heads, head_dim), tg)
+        k = _tag(k.reshape(B, M, self.num_heads, head_dim), tg)
+        v = _tag(v.reshape(B, M, self.num_heads, head_dim), tg)
         # memory-bounded dispatch: pallas flash kernel on TPU for the long
         # spatial self-attention (N up to 4096), fused einsum for 77-token
         # cross-attention (see ops/attention.py)
@@ -138,13 +158,15 @@ class FeedForward(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, path: str = "", inject=None):
+    def __call__(self, x, *, path: str = "", inject=None, tag: bool = False):
         dim = x.shape[-1]
         inner = dim * 4
         # HF: ff.net.0.proj (GEGLU), ff.net.2 (Linear)
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        h = _tag(nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x),
+                 tag)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * jax.nn.gelu(gate, approximate=False)
+        h, gate = _tag(h, tag), _tag(gate, tag)
+        h = _tag(h * _tag(jax.nn.gelu(gate, approximate=False), tag), tag)
         self.sow("intermediates", "ff2_in", h)
         h = nn.Dense(dim, dtype=self.dtype, name="net_2")(h)
         h = _inject_out(inject, f"{path}.net.2", h)
@@ -157,21 +179,22 @@ class BasicTransformerBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context, *, path: str = "", inject=None):
+    def __call__(self, x, context, *, path: str = "", inject=None,
+                 tag: bool = False):
         attn1 = CrossAttention(self.num_heads, dtype=self.dtype, name="attn1")
         attn2 = CrossAttention(self.num_heads, dtype=self.dtype, name="attn2")
         ff = FeedForward(dtype=self.dtype, name="ff")
         x = x + attn1(
-            nn.LayerNorm(dtype=self.dtype, name="norm1")(x),
-            path=f"{path}.attn1", inject=inject,
+            _tag(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), tag),
+            path=f"{path}.attn1", inject=inject, tag=tag,
         )
         x = x + attn2(
-            nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context,
-            path=f"{path}.attn2", inject=inject,
+            _tag(nn.LayerNorm(dtype=self.dtype, name="norm2")(x), tag), context,
+            path=f"{path}.attn2", inject=inject, tag=tag,
         )
         x = x + ff(
-            nn.LayerNorm(dtype=self.dtype, name="norm3")(x),
-            path=f"{path}.ff", inject=inject,
+            _tag(nn.LayerNorm(dtype=self.dtype, name="norm3")(x), tag),
+            path=f"{path}.ff", inject=inject, tag=tag,
         )
         return x
 
@@ -184,21 +207,24 @@ class Transformer2D(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context, *, path: str = "", inject=None):
+    def __call__(self, x, context, *, path: str = "", inject=None,
+                 tag: bool = False):
         B, H, W, C = x.shape
         residual = x
-        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
-                         dtype=self.dtype, name="norm")(x)
+        h = _tag(nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
+                              dtype=self.dtype, name="norm")(x), tag)
         if self.use_linear_projection:
             h = h.reshape(B, H * W, C)
-            h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
+            h = _tag(nn.Dense(C, dtype=self.dtype, name="proj_in")(h), tag)
         else:
-            h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_in")(h)
+            h = _tag(nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_in")(h),
+                     tag)
             h = h.reshape(B, H * W, C)
         for d in range(self.depth):
             h = BasicTransformerBlock(
                 self.num_heads, dtype=self.dtype, name=f"transformer_blocks_{d}"
-            )(h, context, path=f"{path}.transformer_blocks.{d}", inject=inject)
+            )(h, context, path=f"{path}.transformer_blocks.{d}", inject=inject,
+              tag=tag)
         if self.use_linear_projection:
             h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
             h = h.reshape(B, H, W, C)
@@ -256,7 +282,16 @@ class UNet2DCondition(nn.Module):
         added_cond: Optional[Dict[str, jnp.ndarray]] = None,
         *,
         inject: Optional[Dict[str, jnp.ndarray]] = None,
+        remat_tag_hw: int = 0,
     ) -> UNetOutput:
+        """``remat_tag_hw > 0`` names the interior activations of every block
+        whose spatial resolution is >= that value (``checkpoint_name``,
+        "unet_interior") so callers can wrap the forward in
+        ``jax.checkpoint(..., policy=save_anything_except_these_names(
+        "unet_interior"))`` — selective remat: the high-resolution interiors
+        (the bulk of residual HBM) are recomputed in the backward while
+        everything else stays stored.  0 (default) leaves the jaxpr
+        untouched."""
         cfg = self.config
         ctx = encoder_hidden_states
         if timesteps.ndim == 0:
@@ -302,10 +337,11 @@ class UNet2DCondition(nn.Module):
             has_attn = block_type == "CrossAttnDownBlock2D"
             bpath = f"down_blocks.{lvl}"
             for j in range(cfg.layers_per_block):
+                tg = 0 < remat_tag_hw <= h.shape[1]
                 h = ResnetBlock2D(
                     out_ch, cfg.norm_num_groups, dtype=self.dtype,
                     name=f"down_blocks_{lvl}_resnets_{j}",
-                )(h, temb, path=f"{bpath}.resnets.{j}", inject=inject)
+                )(h, temb, path=f"{bpath}.resnets.{j}", inject=inject, tag=tg)
                 if has_attn:
                     h = Transformer2D(
                         cfg.attention_head_dim[lvl],
@@ -314,7 +350,8 @@ class UNet2DCondition(nn.Module):
                         use_linear_projection=use_linear,
                         dtype=self.dtype,
                         name=f"down_blocks_{lvl}_attentions_{j}",
-                    )(h, ctx, path=f"{bpath}.attentions.{j}", inject=inject)
+                    )(h, ctx, path=f"{bpath}.attentions.{j}", inject=inject,
+                      tag=tg)
                 skips.append(h)
             if lvl < n_levels - 1:
                 h = Downsample2D(out_ch, dtype=self.dtype,
@@ -346,10 +383,11 @@ class UNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
+                tg = 0 < remat_tag_hw <= h.shape[1]
                 h = ResnetBlock2D(
                     out_ch, cfg.norm_num_groups, dtype=self.dtype,
                     name=f"up_blocks_{lvl}_resnets_{j}",
-                )(h, temb, path=f"{bpath}.resnets.{j}", inject=inject)
+                )(h, temb, path=f"{bpath}.resnets.{j}", inject=inject, tag=tg)
                 if has_attn:
                     h = Transformer2D(
                         cfg.attention_head_dim[n_levels - 1 - lvl],
@@ -358,7 +396,8 @@ class UNet2DCondition(nn.Module):
                         use_linear_projection=use_linear,
                         dtype=self.dtype,
                         name=f"up_blocks_{lvl}_attentions_{j}",
-                    )(h, ctx, path=f"{bpath}.attentions.{j}", inject=inject)
+                    )(h, ctx, path=f"{bpath}.attentions.{j}", inject=inject,
+                      tag=tg)
             if lvl < n_levels - 1:
                 h = Upsample2D(out_ch, dtype=self.dtype,
                                name=f"up_blocks_{lvl}_upsamplers_0")(h)

@@ -124,7 +124,8 @@ def stage1_step_flops(config, n_concepts: int, n_prompts: int,
     precomputed over a finite pool — engine.compute_z eps_dest_pool)."""
     B = n_concepts * n_prompts
     per_fwd = unet_fwd_flops(config, B, latent_hw)
-    fwd_equiv = 3.0 if remat == "full" else 2.0
+    # "level0" recomputes only the full-resolution interiors (~0.15 fwd)
+    fwd_equiv = {"full": 3.0, "level0": 2.15}.get(remat, 2.0)
     if not eps_dest_pooled:
         fwd_equiv += 1.0
     return per_fwd * fwd_equiv

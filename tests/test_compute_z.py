@@ -275,3 +275,87 @@ def test_optimizer_memo_reuses_programs():
     d = _get_optimizer(comps, hp, fim=np.ones((H,), np.float32))
     e = _get_optimizer(comps, hp, fim=np.ones((H,), np.float32))
     assert d is not e
+
+
+def _concept_batch(tok, hp, mean, logvar):
+    arrays, _, _ = prepare_concept_batch(tok, REQUESTS, hp)
+    return ConceptBatch(
+        source_ids=jnp.asarray(arrays["source_ids"]),
+        dest_ids=jnp.asarray(arrays["dest_ids"]),
+        inject_mask=jnp.asarray(arrays["inject_mask"]),
+        source_lookup=jnp.asarray(arrays["source_lookup"]),
+        dest_lookup=jnp.asarray(arrays["dest_lookup"]),
+        latents_mean=jnp.asarray(mean),
+        latents_logvar=jnp.asarray(logvar),
+    )
+
+
+def test_remat_level0_matches_none(setup):
+    """Selective remat ("level0": recompute only the full-resolution block
+    interiors via the checkpoint_name seams) must be a pure memory/compute
+    trade — the optimization trajectory matches remat="none"."""
+    tok, text, tp, unet, up, sched = setup
+    hp = make_hp(v_num_grad_steps=4)
+    mean, logvar = _latents()
+    batch = _concept_batch(tok, hp, mean, logvar)
+    outs = {}
+    for remat in ("none", "level0"):
+        optz = ZOptimizer(text, unet, sched, hp, layer=hp.layers[-1],
+                          remat=remat)
+        zs, delta, z0, losses = optz.run(tp, up, batch, jax.random.PRNGKey(3))
+        outs[remat] = (np.asarray(zs), np.asarray(losses))
+    np.testing.assert_allclose(outs["level0"][0], outs["none"][0],
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(outs["level0"][1], outs["none"][1],
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_remat_tag_off_leaves_jaxpr_unchanged(setup):
+    """remat_tag_hw=0 (the default everywhere outside remat="level0") must
+    not insert name primitives — compiled-program cache keys stay stable."""
+    _, _, _, unet, up, _ = setup
+    x = jnp.zeros((1, 8, 8, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 16, 32))
+
+    plain = jax.make_jaxpr(
+        lambda p, x, t, c: unet.apply({"params": p}, x, t, c).sample
+    )(up, x, t, ctx)
+    assert "unet_interior" not in str(plain)
+
+    tagged = jax.make_jaxpr(
+        lambda p, x, t, c: unet.apply({"params": p}, x, t, c,
+                                      remat_tag_hw=8).sample
+    )(up, x, t, ctx)
+    assert "unet_interior" in str(tagged)
+
+
+def test_hbm_fallback_ladder(setup):
+    """HBM exhaustion escalates remat none -> level0 -> full, retrying the
+    SAME chunk with the SAME rng key (trajectory identical to a run that fit
+    from the start)."""
+    tok, text, tp, unet, up, sched = setup
+    hp = make_hp(v_num_grad_steps=3)
+    mean, logvar = _latents()
+    batch = _concept_batch(tok, hp, mean, logvar)
+
+    ref = ZOptimizer(text, unet, sched, hp, layer=hp.layers[-1], remat="none")
+    zs_ref, *_ = ref.run(tp, up, batch, jax.random.PRNGKey(5))
+
+    for start, expect in (("none", "level0"), ("level0", "full")):
+        optz = ZOptimizer(text, unet, sched, hp, layer=hp.layers[-1],
+                          remat=start)
+        real_run = optz._run
+        state = {"raised": False}
+
+        def fake_run(*a, **kw):
+            if not state["raised"]:
+                state["raised"] = True
+                raise RuntimeError("RESOURCE_EXHAUSTED: fake HBM OOM")
+            return real_run(*a, **kw)
+
+        optz._run = fake_run
+        zs, *_ = optz.run(tp, up, batch, jax.random.PRNGKey(5))
+        assert state["raised"] and optz.remat == expect
+        np.testing.assert_allclose(np.asarray(zs), np.asarray(zs_ref),
+                                   rtol=2e-4, atol=2e-5)
