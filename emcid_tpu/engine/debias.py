@@ -99,6 +99,90 @@ def get_factors(
     return factors
 
 
+def get_factors_v0(
+    components: SDComponents,
+    scorer: CLIPScorer,
+    hparams,
+    separate_zs: Sequence[np.ndarray],
+    separate_requests: Sequence[Dict],
+    covs,
+    init_factors: Optional[Sequence[float]] = None,
+    num_samples: int = 10,
+    num_seeds: int = 5,
+    max_diff: float = 0.02,
+    step_length: float = 0.8,
+    desired_ratios: Optional[Sequence[float]] = None,
+    max_iter: int = 20,
+    mom2_weight=None,
+    edit_weight=None,
+    gen_kwargs: Optional[dict] = None,
+    verbose: bool = True,
+) -> List[float]:
+    """Legacy v0 factor search (reference emcid_main.py:1523-1621;
+    zero callers in the reference — kept for API completeness).
+
+    Differs from :func:`get_factors` in its sampling protocol: it draws
+    ``num_seeds`` generation seeds via ``random.sample(range(100000),
+    num_seeds)`` seeded from the request, then generates ``num_samples``
+    images per seed.  Two reference quirks are replicated, documented
+    here rather than silently fixed:
+
+    * the per-seed count array is RESET inside the seed loop (:1579), so
+      only the LAST seed's counts ever reach the ratio update — the
+      other ``(num_seeds - 1) * num_samples`` generations are wasted;
+    * the step decay mutates ``step_length`` in place (:1558), giving a
+      compounding product decay like :func:`get_factors`.
+
+    Image streams cannot be bitwise-identical to the torch generator's;
+    per-image seeds are derived deterministically from each sampled seed.
+    """
+    import random as _random
+
+    n = len(separate_requests)
+    factors = list(init_factors) if init_factors else [1.0 / n] * n
+    desired = list(desired_ratios) if desired_ratios else [1.0 / n] * n
+    dests = [r["dest"] for r in separate_requests]
+    base_seed = int(separate_requests[0].get("seed")
+                    or separate_requests[0].get("seed_train") or 0)
+    prompt = "an image of {}".format(separate_requests[0]["source"])
+
+    _random.seed(base_seed)
+    seeds = _random.sample(range(100000), num_seeds)
+
+    for it in range(max_iter):
+        step_length = step_length - step_length / max_iter * it
+        balanced_z = sum(f * np.asarray(z) for f, z in zip(factors, separate_zs))
+        zs = balanced_z[None]
+        if zs.ndim == 2:
+            zs = zs[:, None, :]
+        _, edited_params = execute_emcid_text_encoder(
+            components.text_encoder, components.text_params,
+            components.tokenizer, [separate_requests[0]], hparams,
+            zs=jnp.asarray(zs), covs=covs,
+            mom2_weight=mom2_weight, edit_weight=edit_weight, verbose=False,
+        )
+        edited = components.replace_text_params(edited_params)
+        for seed in seeds:
+            # reference quirk: cnts reset here, so only the last seed counts
+            imgs = generate(
+                edited, [prompt] * num_samples,
+                [seed * num_samples + i for i in range(num_samples)],
+                **(gen_kwargs or {}),
+            )
+            cur = classify_ratio(scorer, imgs, dests)
+        diffs = [c - d for c, d in zip(cur, desired)]
+        if max(abs(d) for d in diffs) <= max_diff:
+            if verbose:
+                print("current ratios:", cur)
+            break
+        factors = [max(f - step_length * d, 0.0) for f, d in zip(factors, diffs)]
+        total = sum(factors) or 1.0
+        factors = [f / total for f in factors]
+        if verbose:
+            print(f"ratios: {cur}, factors: {factors}")
+    return factors
+
+
 def get_factors_repr(
     components: SDComponents,
     hparams,

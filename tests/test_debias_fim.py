@@ -105,6 +105,40 @@ def test_get_factors_converges_structurally(world, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_get_factors_v0_structural(world, rng):
+    """Legacy v0 search: runs the multi-seed protocol, keeps factors
+    normalized, never mutates the caller's components, and its seed list
+    reproduces the reference's random.sample draw."""
+    import random
+
+    from emcid_tpu.engine.debias import get_factors_v0
+
+    comps, scorer = world
+    hp = _hp()
+    zs = [rng.randn(1, 32).astype(np.float32) * 0.1 for _ in range(2)]
+    reqs = [
+        {"prompts": ["an image of {}"], "source": "nurse",
+         "dest": d, "seed": 5}
+        for d in ("a female nurse", "a male nurse")
+    ]
+    params_before = jax.tree.map(lambda x: np.asarray(x), comps.text_params)
+    factors = get_factors_v0(
+        comps, scorer, hp, zs, reqs, _covs(1), num_samples=2, num_seeds=2,
+        max_iter=2, gen_kwargs=dict(num_inference_steps=2, height=16,
+                                    width=16),
+        verbose=False,
+    )
+    assert len(factors) == 2
+    np.testing.assert_allclose(sum(factors), 1.0, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(params_before),
+                    jax.tree.leaves(comps.text_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # seed-list parity with reference emcid_main.py:1574-1576
+    random.seed(5)
+    assert random.sample(range(100000), 2) == random.Random(5).sample(
+        range(100000), 2)
+
+
 @pytest.mark.slow
 def test_apply_debias_end_to_end(world, tmp_path):
     comps, scorer = world
