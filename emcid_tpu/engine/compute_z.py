@@ -217,6 +217,9 @@ class ZOptimizer:
     # residuals are only conv/dense inputs.  "dots" fails to compile at
     # these shapes (compiler OOM).
     remat: str = os.environ.get("EMCID_TPU_Z_REMAT", "none")
+    # False surfaces RESOURCE_EXHAUSTED instead of escalating the remat
+    # ladder (probes want the raw OOM; the product default stays True)
+    hbm_fallback: bool = True
 
     def __post_init__(self):
         self._run = jax.jit(self._run_impl, static_argnames=("steps",))
@@ -687,7 +690,8 @@ class ZOptimizer:
                     # (delta, opt_state) carry is functional and the key is
                     # reused, so the trajectory is identical to a run that
                     # fit in HBM from the start.
-                    if not _is_hbm_exhausted(e) or self.remat == "full":
+                    if (not self.hbm_fallback or not _is_hbm_exhausted(e)
+                            or self.remat == "full"):
                         raise
                     # escalation ladder: "none" -> "level0" (recompute only
                     # the full-res interiors, ~+7% step) -> "full" (+~25%)

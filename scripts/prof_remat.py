@@ -1,14 +1,20 @@
-"""TPU experiment: Stage-1 step time vs remat policy (full / none / dots).
+"""TPU experiment: Stage-1 step time vs remat policy and concept-block size.
 
 The UNet weights are frozen in Stage-1, so the backward only needs input
 gradients; if residuals fit HBM, dropping jax.checkpoint removes one full
-forward recompute per step (~4 -> ~3 forward-equivalents).
+forward recompute per step (~4 -> ~3 forward-equivalents).  "level0"
+(round 4) stores everything EXCEPT the full-resolution block interiors
+(checkpoint_name seams) — ~+7% expected step cost for most of the HBM
+back, targeting C=12-16 blocks.
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/prof_remat.py
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/prof_remat.py \
+        [comma-separated C list, default 8] [comma-separated remats]
+e.g.    ... scripts/prof_remat.py 8,12 none,level0
 """
 
 from __future__ import annotations
 
+import sys
 import time
 
 import numpy as np
@@ -29,8 +35,13 @@ def main():
     from emcid_tpu.models.unet import UNet2DCondition
     from emcid_tpu.text import make_tiny_tokenizer
 
-    n_concepts, steps, n_prompts, latent_hw = 8, 20, 3, 64
-    words = [f"w{i}" for i in range(max(n_concepts + 1, 8))] + [
+    steps, n_prompts, latent_hw = 20, 3, 64
+    c_list = [int(c) for c in (sys.argv[1] if len(sys.argv) > 1
+                               else "8").split(",")]
+    remats = (sys.argv[2] if len(sys.argv) > 2
+              else "none,dots,full").split(",")
+    n_max = max(c_list)
+    words = [f"w{i}" for i in range(max(n_max + 1, 8))] + [
         "photo", "of", "a", "an", "image"]
     tok = make_tiny_tokenizer(words, model_max_length=77)
     text = CLIPTextEncoder(SD_V14_TEXT, dtype=jnp.bfloat16)
@@ -54,44 +65,47 @@ def main():
         "esd_mu": "None", "cal_text_repr_loss": True,
         "text_repr_loss_scale_factor": 0.01,
     })
-    requests = [
-        {"prompts": ["a photo of a {}", "an image of a {}", "{}"],
-         "source": f"w{i}", "dest": f"w{i + 1}", "seed_train": i}
-        for i in range(n_concepts)
-    ]
     rng = np.random.RandomState(0)
-    mean = rng.randn(n_concepts, 1, n_prompts, latent_hw, latent_hw, 4).astype(
-        np.float32) * 0.18
-    logvar = np.full(mean.shape, -6.0, np.float32)
-    arrays, _, _ = prepare_concept_batch(tok, requests, hp)
-    batch = ConceptBatch(
-        source_ids=jnp.asarray(arrays["source_ids"]),
-        dest_ids=jnp.asarray(arrays["dest_ids"]),
-        inject_mask=jnp.asarray(arrays["inject_mask"]),
-        source_lookup=jnp.asarray(arrays["source_lookup"]),
-        dest_lookup=jnp.asarray(arrays["dest_lookup"]),
-        latents_mean=jnp.asarray(mean),
-        latents_logvar=jnp.asarray(logvar),
-    )
+    for n_concepts in c_list:
+        requests = [
+            {"prompts": ["a photo of a {}", "an image of a {}", "{}"],
+             "source": f"w{i}", "dest": f"w{i + 1}", "seed_train": i}
+            for i in range(n_concepts)
+        ]
+        mean = rng.randn(n_concepts, 1, n_prompts, latent_hw, latent_hw,
+                         4).astype(np.float32) * 0.18
+        logvar = np.full(mean.shape, -6.0, np.float32)
+        arrays, _, _ = prepare_concept_batch(tok, requests, hp)
+        batch = ConceptBatch(
+            source_ids=jnp.asarray(arrays["source_ids"]),
+            dest_ids=jnp.asarray(arrays["dest_ids"]),
+            inject_mask=jnp.asarray(arrays["inject_mask"]),
+            source_lookup=jnp.asarray(arrays["source_lookup"]),
+            dest_lookup=jnp.asarray(arrays["dest_lookup"]),
+            latents_mean=jnp.asarray(mean),
+            latents_logvar=jnp.asarray(logvar),
+        )
 
-    for remat in ["none", "dots", "full"]:
-        try:
-            optz = ZOptimizer(text, unet, sched, hp, layer=hp.layers[-1],
-                              remat=remat)
-            t0 = time.time()
-            zs, *_ = optz.run(tp, up, batch, jax.random.PRNGKey(0))
-            _ = np.asarray(zs)
-            t_compile = time.time() - t0
-            t0 = time.time()
-            zs, *_ = optz.run(tp, up, batch, jax.random.PRNGKey(1))
-            _ = np.asarray(zs)
-            dt = time.time() - t0
-            print(f"remat={remat:5s}: {dt:.2f}s for {steps} steps "
-                  f"({dt / steps * 1e3:.0f} ms/step; compile+run {t_compile:.0f}s)",
-                  flush=True)
-        except Exception as e:
-            print(f"remat={remat:5s}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:300]}", flush=True)
+        for remat in remats:
+            try:
+                optz = ZOptimizer(text, unet, sched, hp,
+                                  layer=hp.layers[-1], remat=remat)
+                optz.hbm_fallback = False  # we WANT the OOM reported
+                t0 = time.time()
+                zs, *_ = optz.run(tp, up, batch, jax.random.PRNGKey(0))
+                _ = np.asarray(zs)
+                t_compile = time.time() - t0
+                t0 = time.time()
+                zs, *_ = optz.run(tp, up, batch, jax.random.PRNGKey(1))
+                _ = np.asarray(zs)
+                dt = time.time() - t0
+                print(f"C={n_concepts:2d} remat={remat:6s}: {dt:.2f}s for "
+                      f"{steps} steps ({dt / steps * 1e3:.0f} ms/step, "
+                      f"{dt / steps / n_concepts * 1e3:.1f} ms/step/concept; "
+                      f"compile+run {t_compile:.0f}s)", flush=True)
+            except Exception as e:
+                print(f"C={n_concepts:2d} remat={remat:6s}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -147,6 +147,8 @@ def main():
         return time.time() - t0
 
     try:
+        if os.environ.get("SDXL_PROF_SKIP_S1"):
+            raise RuntimeError("skipped (SDXL_PROF_SKIP_S1)")
         log("warm-up SDXL stage-1 (compile)")
         stage1(2)
         t3, t6 = stage1(3), stage1(6)
@@ -158,6 +160,9 @@ def main():
 
     xl = lat = imgs = None
     gc.collect()
+    if os.environ.get("SDXL_PROF_SKIP_XKV"):
+        log("skipping x-kv (SDXL_PROF_SKIP_XKV); done")
+        return
 
     # ---- 3: SD x-kv edit ----
     from emcid_tpu.engine.cross_attn import apply_emcid_to_cross_attn
