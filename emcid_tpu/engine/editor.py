@@ -184,6 +184,7 @@ def compute_zs_for_requests(
     train_steps: Optional[int] = None,
     eps_dest_pool: Optional[int] = None,
     z_sched: Optional[str] = None,
+    cfg_interval: Optional[float] = None,
     verbose: bool = True,
 ) -> np.ndarray:
     """All concepts' z vectors (R, T, H): cache hits + blocked Stage-1 runs.
@@ -321,7 +322,7 @@ def compute_zs_for_requests(
                 mean, logvar, imgs = training_latents_for_requests(
                     components, block, hparams, height=res, width=res,
                     num_inference_steps=train_steps, sampler=train_sampler,
-                    mesh=mesh,
+                    cfg_interval=cfg_interval, mesh=mesh,
                     use_dest_prompts=[
                         bool(r.get("txt_img_align")) for r in block
                     ],
@@ -350,7 +351,7 @@ def compute_zs_for_requests(
                 mean, logvar = training_latents_for_requests(
                     components, block, hparams, height=res, width=res,
                     num_inference_steps=train_steps, sampler=train_sampler,
-                    mesh=mesh, verbose=verbose,
+                    cfg_interval=cfg_interval, mesh=mesh, verbose=verbose,
                 )
             arrays, _, _ = prepare_concept_batch(
                 components.tokenizer, block, hparams
@@ -422,6 +423,7 @@ def apply_emcid(
     train_steps: Optional[int] = None,
     eps_dest_pool: Optional[int] = None,
     z_sched: Optional[str] = None,
+    cfg_interval: Optional[float] = None,
     verbose: bool = True,
 ) -> Tuple[SDComponents, Dict]:
     """Full two-stage edit of a pipeline's text encoder.
@@ -451,7 +453,8 @@ def apply_emcid(
         block_size=block_size, num_inference_steps=num_inference_steps,
         fim=fim, mesh=mesh, clip_align=clip_align,
         train_sampler=train_sampler, train_steps=train_steps,
-        eps_dest_pool=eps_dest_pool, z_sched=z_sched, verbose=verbose,
+        eps_dest_pool=eps_dest_pool, z_sched=z_sched,
+        cfg_interval=cfg_interval, verbose=verbose,
     )
     deltas, new_text_params = execute_emcid_text_encoder(
         components.text_encoder, components.text_params,

@@ -138,6 +138,7 @@ def training_latents_for_requests(
     use_dest_prompts=False,  # bool or per-request sequence of bools
     return_images: bool = False,
     sampler: str = "pndm",
+    cfg_interval: Optional[float] = None,
     verbose: bool = False,
 ):
     """(C, Simg, P, h, w, c) scaled posterior mean/logvar for all requests.
@@ -154,6 +155,14 @@ def training_latents_for_requests(
     ``return_images`` additionally returns the [-1, 1] images
     (C*Simg*P, H, W, 3) for CLIP scoring.
     """
+    import os
+
+    if cfg_interval is None:
+        # CFG-interval truncation for TRAINING IMAGES only (guidance is
+        # dropped for the low-noise tail of the sampler; eval generation
+        # keeps the full-interval reference protocol).  1.0 = reference-
+        # exact; <1 is a guarded deviation (tests/test_cfg_interval.py)
+        cfg_interval = float(os.environ.get("EMCID_TPU_CFG_INTERVAL", "1.0"))
     Simg = getattr(hparams, "samples_per_prompt", 1)
     P = len(requests[0]["prompts"])
     if isinstance(use_dest_prompts, bool):
@@ -212,7 +221,7 @@ def training_latents_for_requests(
             components, gen_prompts, gen_seeds, batch_size=batch_size,
             mesh=mesh, num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale, height=height, width=width,
-            sampler=sampler,
+            sampler=sampler, cfg_interval=cfg_interval,
         )
         h, w, ch = mean.shape[1:]
         m = np.empty((C, Simg, P, h, w, ch), np.float32)
@@ -231,6 +240,7 @@ def training_latents_for_requests(
             num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale,
             height=height, width=width, sampler=sampler,
+            cfg_interval=cfg_interval,
         )
         arr = imgs.astype(np.float32) / 255.0 * 2.0 - 1.0
         for slot, im in zip(gen_slots, arr):

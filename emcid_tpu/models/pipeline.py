@@ -133,18 +133,28 @@ _SAMPLER_CACHE: Dict[Any, Any] = {}
 
 
 def _get_sampler(unet, schedule: Schedule, num_steps: int, sampler: str,
-                 do_cfg: bool):
+                 do_cfg: bool, cfg_frac: float = 1.0):
     key = (unet.config, str(unet.dtype), schedule.num_train_timesteps,
-           num_steps, sampler, do_cfg)
+           num_steps, sampler, do_cfg, cfg_frac)
     if key in _SAMPLER_CACHE:
         return _SAMPLER_CACHE[key]
 
     ts = ddim_timesteps(schedule, num_steps)
     ts_prev = np.concatenate([ts[1:], [-1]]).astype(np.int32)
+    # CFG interval: guidance runs only for the first cfg_frac of the steps
+    # (high/mid noise); the tail is a half-batch conditional-only forward
+    n_head = (max(1, int(round(cfg_frac * num_steps)))
+              if do_cfg and cfg_frac < 1.0 else None)
 
     @jax.jit
     def run(unet_params, latents, ctx_cond, ctx_uncond, guidance_scale):
         B = latents.shape[0]
+
+        def eps_plain(lat, t):
+            return unet.apply(
+                {"params": unet_params}, lat, jnp.broadcast_to(t, (B,)),
+                ctx_cond,
+            ).sample
 
         def unet_eps(lat, t):
             if do_cfg:
@@ -156,12 +166,10 @@ def _get_sampler(unet, schedule: Schedule, num_steps: int, sampler: str,
                 ).sample
                 eps_u, eps_c = jnp.split(eps2, 2, axis=0)
                 return eps_u + guidance_scale * (eps_c - eps_u)
-            return unet.apply(
-                {"params": unet_params}, lat, jnp.broadcast_to(t, (B,)),
-                ctx_cond,
-            ).sample
+            return eps_plain(lat, t)
 
-        return scan_sampler(sampler, schedule, unet_eps, latents, ts, ts_prev)
+        return scan_sampler(sampler, schedule, unet_eps, latents, ts,
+                            ts_prev, unet_eps_tail=eps_plain, n_head=n_head)
 
     _SAMPLER_CACHE[key] = run
     return run
@@ -178,13 +186,19 @@ def sample_latents(
     height: int = 512,
     width: int = 512,
     sampler: str = "pndm",
+    cfg_interval: float = 1.0,
     mesh=None,
 ) -> jnp.ndarray:
     """Denoise to final latents (pre-VAE).
 
     With ``mesh``, the image batch shards over the device mesh (params
     replicated, batch axis split) — per-image seeding makes results
-    identical to the single-device run regardless of device count."""
+    identical to the single-device run regardless of device count.
+
+    ``cfg_interval < 1`` applies classifier-free guidance only for the
+    first ``cfg_interval`` fraction of steps; the low-noise tail runs the
+    conditional half-batch only (guidance contributes little there —
+    Kynkäänniemi et al. 2024).  1.0 (default) is the reference protocol."""
     assert len(prompts) == len(seeds), "one seed per prompt"
     ctx_cond = encode_prompts(components, prompts)
     do_cfg = guidance_scale > 1.0
@@ -210,7 +224,8 @@ def sample_latents(
         ctx_uncond = shard_batch(ctx_uncond, mesh)
         unet_params = replicate(unet_params, mesh)
     run = _get_sampler(components.unet, components.schedule,
-                       num_inference_steps, sampler, do_cfg)
+                       num_inference_steps, sampler, do_cfg,
+                       cfg_frac=cfg_interval)
     return run(unet_params, latents, ctx_cond, ctx_uncond,
                jnp.float32(guidance_scale))
 

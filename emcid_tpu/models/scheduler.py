@@ -127,21 +127,41 @@ def ddpm_step(schedule: Schedule, latents: jnp.ndarray, eps: jnp.ndarray,
 
 
 def scan_sampler(sampler: str, schedule: Schedule, unet_eps, latents,
-                 ts, ts_prev):
+                 ts, ts_prev, unet_eps_tail=None, n_head: int = None):
     """Full inference loop for any registered sampler as one ``lax.scan``.
 
     ``unet_eps(lat, t)`` is the (CFG-merged) noise model; ``ts``/``ts_prev``
     are the descending timestep arrays.  Shared by the SD and SDXL
     pipelines so sampler updates live in exactly one place.
-    """
-    pairs = (jnp.asarray(ts), jnp.asarray(ts_prev))
+
+    ``unet_eps_tail``/``n_head`` split the loop at a STATIC step index:
+    steps ``[0, n_head)`` use ``unet_eps``, the rest ``unet_eps_tail``,
+    with the sampler state (PNDM eps ring / DPM++ history) threaded across
+    the boundary — two scans in one program, numerically identical to one
+    scan when both noise models agree.  Used for CFG-interval truncation
+    (drop the uncond branch for low-noise steps; Kynkäänniemi et al. 2024
+    "Applying guidance in a limited interval" — the half-batch tail is the
+    compiler-friendly form of the reference's full-length CFG loop,
+    compute_z.py:384-418)."""
+    ts, ts_prev = jnp.asarray(ts), jnp.asarray(ts_prev)
+    n_steps = ts.shape[0]
+    if unet_eps_tail is None or n_head is None or n_head >= n_steps:
+        segments = [(unet_eps, ts, ts_prev)]
+    else:
+        n_head = max(int(n_head), 1)
+        segments = [(unet_eps, ts[:n_head], ts_prev[:n_head]),
+                    (unet_eps_tail, ts[n_head:], ts_prev[n_head:])]
+
     if sampler == "ddim":
+        lat = latents
+        for eps_fn, seg_ts, seg_prev in segments:
 
-        def body(lat, tp):
-            t, t_prev = tp
-            return ddim_step(schedule, lat, unet_eps(lat, t), t, t_prev), None
+            def body(lat, tp, eps_fn=eps_fn):
+                t, t_prev = tp
+                return ddim_step(schedule, lat, eps_fn(lat, t), t,
+                                 t_prev), None
 
-        lat, _ = jax.lax.scan(body, latents, pairs)
+            lat, _ = jax.lax.scan(body, lat, (seg_ts, seg_prev))
         return lat
     if sampler == "pndm":
         init, step = pndm_init(latents.shape, latents.dtype), pndm_step
@@ -150,14 +170,17 @@ def scan_sampler(sampler: str, schedule: Schedule, unet_eps, latents,
     else:
         raise ValueError(f"unknown sampler {sampler!r}")
 
-    def body(carry, tp):
-        lat, st = carry
-        t, t_prev = tp
-        st, lat = step(schedule, st, lat, unet_eps(lat, t), t, t_prev)
-        return (lat, st), None
+    carry = (latents, init)
+    for eps_fn, seg_ts, seg_prev in segments:
 
-    (lat, _), _ = jax.lax.scan(body, (latents, init), pairs)
-    return lat
+        def body(carry, tp, eps_fn=eps_fn):
+            lat, st = carry
+            t, t_prev = tp
+            st, lat = step(schedule, st, lat, eps_fn(lat, t), t, t_prev)
+            return (lat, st), None
+
+        carry, _ = jax.lax.scan(body, carry, (seg_ts, seg_prev))
+    return carry[0]
 
 
 class PNDMState(NamedTuple):

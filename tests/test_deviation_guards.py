@@ -120,6 +120,16 @@ def test_train_sampler_metric_parity(comps, scorer, tmp_path):
 
 
 @pytest.mark.slow
+def test_cfg_interval_metric_parity(comps, scorer, tmp_path):
+    """Deviation #4 (CFG-interval training images): dropping the uncond
+    branch for the low-noise sampler tail must not move AICE metrics
+    outside the full-interval protocol's own seed noise."""
+    trunc = _run_mode(comps, scorer, tmp_path / "t", cfg_interval=0.6)
+    full = _run_mode(comps, scorer, tmp_path / "u", cfg_interval=1.0)
+    _assert_within_noise(trunc, full, "cfg_interval 0.6 vs 1.0")
+
+
+@pytest.mark.slow
 def test_z_schedule_metric_parity(comps, scorer, tmp_path):
     """Deviation #3 (cosine fast z protocol): must match the const
     reference protocol's AICE metrics at a protocol-sized step count
