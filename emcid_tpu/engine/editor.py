@@ -155,6 +155,9 @@ def _get_optimizer(components, hparams, fim=None, text_projection=None,
         _np.asarray(sched.betas, _np.float64).tobytes(),
         hp_key, hparams.layers[-1], eps_pool, lr_sched,
     )
+    from emcid_tpu.runtime import trace_env_knobs
+
+    key = key + (trace_env_knobs(),)
     if key not in _OPTZ_CACHE:
         if len(_OPTZ_CACHE) >= 8:  # bound: drop the oldest program set
             _OPTZ_CACHE.pop(next(iter(_OPTZ_CACHE)))

@@ -70,6 +70,9 @@ _JIT_CACHE: Dict[Any, Any] = {}
 
 
 def _cached_jit(key, build):
+    from emcid_tpu.runtime import trace_env_knobs
+
+    key = (key, trace_env_knobs())
     fn = _JIT_CACHE.get(key)
     if fn is None:
         fn = _JIT_CACHE[key] = build()
@@ -134,8 +137,10 @@ _SAMPLER_CACHE: Dict[Any, Any] = {}
 
 def _get_sampler(unet, schedule: Schedule, num_steps: int, sampler: str,
                  do_cfg: bool, cfg_frac: float = 1.0):
+    from emcid_tpu.runtime import trace_env_knobs
+
     key = (unet.config, str(unet.dtype), schedule.num_train_timesteps,
-           num_steps, sampler, do_cfg, cfg_frac)
+           num_steps, sampler, do_cfg, cfg_frac, trace_env_knobs())
     if key in _SAMPLER_CACHE:
         return _SAMPLER_CACHE[key]
 

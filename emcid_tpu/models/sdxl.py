@@ -137,8 +137,11 @@ def sample_latents_sdxl(
     B = latents.shape[0]
     tids = sdxl_time_ids(B, height, width)
 
+    from emcid_tpu.runtime import trace_env_knobs
+
     key = (components.unet.config, num_inference_steps,
-           components.schedule.num_train_timesteps, sampler)
+           components.schedule.num_train_timesteps, sampler,
+           trace_env_knobs())
     if key not in _SDXL_SAMPLER_CACHE:
         ts = ddim_timesteps(components.schedule, num_inference_steps)
         ts_prev = np.concatenate([ts[1:], [-1]]).astype(np.int32)

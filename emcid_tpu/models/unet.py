@@ -75,6 +75,46 @@ def _tag(x: jnp.ndarray, on: bool) -> jnp.ndarray:
     return checkpoint_name(x, "unet_interior")
 
 
+def _fused_gn() -> bool:
+    """Opt-in for the fused GroupNorm(+SiLU) Pallas path (ops/groupnorm.py).
+    Read at trace time; default off — the stock nn.GroupNorm lowering stays
+    byte-identical until the on-chip A/B (scripts/prof_gn.py) justifies it."""
+    import os
+
+    return os.environ.get("EMCID_TPU_FUSED_GN", "0") == "1"
+
+
+class _GNParams(nn.Module):
+    """Parameter twin of ``nn.GroupNorm``: declares the same ``{scale,
+    bias}`` leaves (names, shapes, inits, param dtype) so the param tree —
+    and every converted checkpoint — is identical whichever path runs."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+def _gn_act(x, *, groups: int, eps: float, dtype, name: str,
+            act: str = "none", tag: bool = False):
+    """GroupNorm followed by an optional SiLU.  Stock flax path by default;
+    one fused Pallas kernel (ops/groupnorm.py) under EMCID_TPU_FUSED_GN=1."""
+    if _fused_gn():
+        from emcid_tpu.ops.groupnorm import group_norm_act
+
+        scale, bias = _GNParams(x.shape[-1], name=name)()
+        return _tag(group_norm_act(x, scale, bias, num_groups=groups,
+                                   eps=eps, act=act), tag)
+    h = _tag(nn.GroupNorm(num_groups=groups, epsilon=eps, dtype=dtype,
+                          name=name)(x), tag)
+    if act == "silu":
+        h = _tag(jax.nn.silu(h), tag)
+    return h
+
+
 class ResnetBlock2D(nn.Module):
     out_channels: int
     norm_num_groups: int = 32
@@ -83,17 +123,15 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, temb, *, path: str = "", inject=None,
                  tag: bool = False):
-        h = _tag(nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5,
-                              dtype=self.dtype, name="norm1")(x), tag)
-        h = _tag(jax.nn.silu(h), tag)
+        h = _gn_act(x, groups=self.norm_num_groups, eps=1e-5,
+                    dtype=self.dtype, name="norm1", act="silu", tag=tag)
         h = _tag(nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                          dtype=self.dtype, name="conv1")(h), tag)
         t = nn.Dense(self.out_channels, dtype=self.dtype,
                      name="time_emb_proj")(jax.nn.silu(temb))
         h = _tag(h + t[:, None, None, :], tag)
-        h = _tag(nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5,
-                              dtype=self.dtype, name="norm2")(h), tag)
-        h = _tag(jax.nn.silu(h), tag)
+        h = _gn_act(h, groups=self.norm_num_groups, eps=1e-5,
+                    dtype=self.dtype, name="norm2", act="silu", tag=tag)
         # conv2 is an editable layer (UNET_EDIT_TEMPLATES "conv-res")
         self.sow("intermediates", "conv2_in", h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
@@ -211,8 +249,8 @@ class Transformer2D(nn.Module):
                  tag: bool = False):
         B, H, W, C = x.shape
         residual = x
-        h = _tag(nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
-                              dtype=self.dtype, name="norm")(x), tag)
+        h = _gn_act(x, groups=self.norm_num_groups, eps=1e-6,
+                    dtype=self.dtype, name="norm", tag=tag)
         if self.use_linear_projection:
             h = h.reshape(B, H * W, C)
             h = _tag(nn.Dense(C, dtype=self.dtype, name="proj_in")(h), tag)
@@ -402,9 +440,8 @@ class UNet2DCondition(nn.Module):
                 h = Upsample2D(out_ch, dtype=self.dtype,
                                name=f"up_blocks_{lvl}_upsamplers_0")(h)
 
-        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
-                         dtype=self.dtype, name="conv_norm_out")(h)
-        h = jax.nn.silu(h)
+        h = _gn_act(h, groups=cfg.norm_num_groups, eps=1e-5,
+                    dtype=self.dtype, name="conv_norm_out", act="silu")
         h = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv_out")(h)
         return UNetOutput(sample=h)

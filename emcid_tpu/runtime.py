@@ -62,3 +62,21 @@ def setup_compilation_cache() -> None:
                           min_secs)
     except Exception:  # pragma: no cover — cache is best-effort
         pass
+
+
+def trace_env_knobs() -> tuple:
+    """Values of every env knob that changes a *traced program* (kernel
+    block sizes, fused-GN path, Stage-1 remat/chunking).  In-process
+    program memos (_JIT_CACHE, _SAMPLER_CACHE, _OPTZ_CACHE, SDXL sampler)
+    fold this into their keys so flipping a knob mid-process retraces
+    instead of silently reusing a stale executable — the same hazard class
+    as the round-3 _OPTZ_CACHE schedule-key finding (ADVICE.md)."""
+    return tuple(
+        os.environ.get(k)
+        for k in (
+            "EMCID_TPU_FUSED_GN",
+            "EMCID_TPU_FLASH_BQ", "EMCID_TPU_FLASH_BK",
+            "EMCID_TPU_FLASH_BQ_BWD", "EMCID_TPU_FLASH_BK_BWD",
+            "EMCID_TPU_Z_REMAT", "EMCID_TPU_Z_CHUNK",
+        )
+    )

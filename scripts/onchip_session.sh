@@ -1,0 +1,38 @@
+#!/bin/bash
+# Serialized on-chip probe session (axon tunnel rules: ONE TPU client at a
+# time, never killed mid-execution).  Run with:
+#   nohup bash scripts/onchip_session.sh > /tmp/onchip.log 2>&1 &
+#   echo $! > /tmp/onchip.pid
+# Steps ordered by value: the headline bench first (worker may degrade
+# later in the session), then the measurements that decide default flips.
+# Skip steps with ONCHIP_SKIP="gn cfg" etc.
+set -uo pipefail
+cd /root/repo
+SKIP="${ONCHIP_SKIP:-}"
+
+step() {
+  local name="$1"; shift
+  case " $SKIP " in *" $name "*) echo "== $name SKIPPED"; return;; esac
+  echo "== $name start $(date +%H:%M:%S)"
+  timeout 5400 "$@" 2>&1 | tail -c 200000
+  echo "== $name done $(date +%H:%M:%S) (rc=$?)"
+}
+
+# 1. headline bench on current product defaults
+step bench python -u bench.py
+
+# 2. fused-GN A/B (decides EMCID_TPU_FUSED_GN default): bare ops first,
+#    then UNet fwd / fwd+ctx-grad
+step gn python -u scripts/prof_gn.py
+
+# 3. CFG-interval z-agreement (decides EMCID_TPU_CFG_INTERVAL default)
+step cfg python -u scripts/prof_cfg_interval.py
+
+# 4. level-0 remat C-sweep (C=12 fit?)
+step remat python -u scripts/prof_remat.py 8,12 none,level0
+
+# 5. SDXL stage-1 / x-kv timings (generation skipped: compiler 500'd at
+#    1024^2 last session)
+step sdxl env SDXL_PROF_SKIP_GEN=1 python -u scripts/prof_sdxl.py
+
+echo "== session complete $(date +%H:%M:%S)"

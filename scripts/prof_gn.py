@@ -1,0 +1,140 @@
+"""TPU A/B: fused GroupNorm(+SiLU) Pallas kernel vs the stock XLA lowering.
+
+Three rungs, cheapest first (each rung is ~2 remote compiles on the
+tunneled backend — stop early if rung 1 already says "no win"):
+
+1. bare op at the four SD UNet geometries (fwd and fwd+vjp);
+2. one full UNet forward, EMCID_TPU_FUSED_GN=0 vs 1;
+3. UNet fwd + ctx-grad (the Stage-1 hot shape), 0 vs 1.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/prof_gn.py
+Optional: PROF_GN_RUNGS=1,2,3 to select rungs.
+"""
+
+import os
+import time
+
+import numpy as np
+
+
+def timeit(fn, *args, reps=5):
+    out = fn(*args)
+    _ = float(np.asarray(out))
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    _ = float(np.asarray(out))
+    return (time.time() - t0) / reps
+
+
+def rung1():
+    import jax
+    import jax.numpy as jnp
+
+    from emcid_tpu.ops.groupnorm import gn_act_pallas, gn_act_reference
+
+    rng = np.random.RandomState(0)
+    # (B, S, C): SD level-0..3 resnet norms + the 960-ch up-block concat
+    shapes = [(24, 4096, 320), (24, 4096, 640), (24, 1024, 1280),
+              (24, 4096, 960), (24, 256, 1280)]
+    for B, S, C in shapes:
+        x = jnp.asarray(rng.randn(B, S, C), jnp.bfloat16)
+        sc = jnp.asarray(rng.randn(C), jnp.float32) * 0.2 + 1.0
+        bi = jnp.asarray(rng.randn(C), jnp.float32) * 0.1
+        gb = B * S * C * 2 / 1e9  # bf16 read GB (the one-pass lower bound)
+
+        def f_pallas(x, sc, bi):
+            return gn_act_pallas(x, sc, bi, 32, 1e-5, "silu",
+                                 False).astype(jnp.float32).sum()
+
+        def f_xla(x, sc, bi):
+            return gn_act_reference(
+                x, sc, bi, num_groups=32, eps=1e-5,
+                act="silu").astype(jnp.float32).sum()
+
+        def g_pallas(x, sc, bi):
+            gs = jax.grad(f_pallas, argnums=(0,))(x, sc, bi)
+            return gs[0].astype(jnp.float32).sum()
+
+        def g_xla(x, sc, bi):
+            gs = jax.grad(f_xla, argnums=(0,))(x, sc, bi)
+            return gs[0].astype(jnp.float32).sum()
+
+        for nm, fp, fx in [("fwd", f_pallas, f_xla),
+                           ("fwd+dx", g_pallas, g_xla)]:
+            try:
+                tp = timeit(jax.jit(fp), x, sc, bi)
+                tx = timeit(jax.jit(fx), x, sc, bi)
+                print(f"({B},{S},{C}) {nm}: pallas {tp * 1e3:6.2f} ms "
+                      f"({2 * gb / tp:5.0f} GB/s rd+wr)  "
+                      f"xla {tx * 1e3:6.2f} ms  "
+                      f"speedup {tx / tp:4.2f}x", flush=True)
+            except Exception as e:
+                print(f"({B},{S},{C}) {nm}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+
+
+def _unet_setup():
+    import jax
+    import jax.numpy as jnp
+
+    from emcid_tpu.models.configs import sd_v14_unet
+    from emcid_tpu.models.unet import UNet2DCondition
+
+    unet = UNet2DCondition(sd_v14_unet(), dtype=jnp.bfloat16)
+    params = unet.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    B = 24
+    sample = jnp.asarray(rng.randn(B, 64, 64, 4), jnp.bfloat16)
+    t = jnp.asarray(rng.randint(0, 1000, (B,)), jnp.int32)
+    ctx = jnp.asarray(rng.randn(B, 77, 768), jnp.bfloat16)
+    return unet, params, sample, t, ctx
+
+
+def rung23(rungs):
+    import jax
+    import jax.numpy as jnp
+
+    unet, params, sample, t, ctx = _unet_setup()
+
+    def fwd(params, sample, t, ctx):
+        return unet.apply({"params": params}, sample, t,
+                          ctx).sample.astype(jnp.float32).sum()
+
+    def fwd_ctxgrad(params, sample, t, ctx):
+        g = jax.grad(
+            lambda c: unet.apply({"params": params}, sample, t,
+                                 c).sample.astype(jnp.float32).sum())(ctx)
+        return g.astype(jnp.float32).sum()
+
+    legs = []
+    if "2" in rungs:
+        legs.append(("UNet fwd B=24", fwd))
+    if "3" in rungs:
+        legs.append(("UNet fwd+ctx-grad B=24", fwd_ctxgrad))
+    for nm, f in legs:
+        row = [nm]
+        for flag in ("0", "1"):
+            os.environ["EMCID_TPU_FUSED_GN"] = flag
+            try:
+                tt = timeit(jax.jit(f), params, sample, t, ctx, reps=3)
+                row.append(f"GN={'fused' if flag == '1' else 'xla'} "
+                           f"{tt * 1e3:7.1f} ms")
+            except Exception as e:
+                row.append(f"GN={flag} FAILED {type(e).__name__}: "
+                           f"{str(e)[:160]}")
+        print("  |  ".join(row), flush=True)
+
+
+def main():
+    import emcid_tpu  # noqa: F401  (persistent compile cache)
+
+    rungs = os.environ.get("PROF_GN_RUNGS", "1,2,3")
+    if "1" in rungs:
+        rung1()
+    if "2" in rungs or "3" in rungs:
+        rung23(rungs)
+
+
+if __name__ == "__main__":
+    main()
