@@ -98,6 +98,27 @@ class _GNParams(nn.Module):
         return scale, bias
 
 
+def _fused_ln() -> bool:
+    """Opt-in twin of ``_fused_gn`` for the transformer-block LayerNorms
+    (ops/layernorm.py), gated separately so the on-chip A/B can attribute
+    wins per norm type."""
+    import os
+
+    return os.environ.get("EMCID_TPU_FUSED_LN", "0") == "1"
+
+
+def _ln(x, *, dtype, name: str, tag: bool = False):
+    """Transformer-block LayerNorm: stock flax by default; the fused
+    Pallas kernel under EMCID_TPU_FUSED_LN=1 (same parameter-twin trick
+    as ``_gn_act`` — the param tree is identical either way)."""
+    if _fused_ln():
+        from emcid_tpu.ops.layernorm import layer_norm_act
+
+        scale, bias = _GNParams(x.shape[-1], name=name)()
+        return _tag(layer_norm_act(x, scale, bias, eps=1e-6), tag)
+    return _tag(nn.LayerNorm(dtype=dtype, name=name)(x), tag)
+
+
 def _gn_act(x, *, groups: int, eps: float, dtype, name: str,
             act: str = "none", tag: bool = False):
     """GroupNorm followed by an optional SiLU.  Stock flax path by default;
@@ -223,15 +244,15 @@ class BasicTransformerBlock(nn.Module):
         attn2 = CrossAttention(self.num_heads, dtype=self.dtype, name="attn2")
         ff = FeedForward(dtype=self.dtype, name="ff")
         x = x + attn1(
-            _tag(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), tag),
+            _ln(x, dtype=self.dtype, name="norm1", tag=tag),
             path=f"{path}.attn1", inject=inject, tag=tag,
         )
         x = x + attn2(
-            _tag(nn.LayerNorm(dtype=self.dtype, name="norm2")(x), tag), context,
+            _ln(x, dtype=self.dtype, name="norm2", tag=tag), context,
             path=f"{path}.attn2", inject=inject, tag=tag,
         )
         x = x + ff(
-            _tag(nn.LayerNorm(dtype=self.dtype, name="norm3")(x), tag),
+            _ln(x, dtype=self.dtype, name="norm3", tag=tag),
             path=f"{path}.ff", inject=inject, tag=tag,
         )
         return x

@@ -74,7 +74,7 @@ def trace_env_knobs() -> tuple:
     return tuple(
         os.environ.get(k)
         for k in (
-            "EMCID_TPU_FUSED_GN",
+            "EMCID_TPU_FUSED_GN", "EMCID_TPU_FUSED_LN",
             "EMCID_TPU_FLASH_BQ", "EMCID_TPU_FLASH_BK",
             "EMCID_TPU_FLASH_BQ_BWD", "EMCID_TPU_FLASH_BK_BWD",
             "EMCID_TPU_Z_REMAT", "EMCID_TPU_Z_CHUNK",

@@ -32,8 +32,42 @@ def rung1():
     import jax.numpy as jnp
 
     from emcid_tpu.ops.groupnorm import gn_act_pallas, gn_act_reference
+    from emcid_tpu.ops.layernorm import ln_act_pallas, ln_act_reference
 
     rng = np.random.RandomState(0)
+    # LayerNorm at the transformer-block token shapes
+    for B, S, C in [(24, 4096, 320), (24, 1024, 640)]:
+        x = jnp.asarray(rng.randn(B, S, C), jnp.bfloat16)
+        sc = jnp.asarray(rng.randn(C), jnp.float32) * 0.2 + 1.0
+        bi = jnp.asarray(rng.randn(C), jnp.float32) * 0.1
+        gb = B * S * C * 2 / 1e9
+
+        def l_pallas(x, sc, bi):
+            return ln_act_pallas(x, sc, bi, 1e-6, "none",
+                                 False).astype(jnp.float32).sum()
+
+        def l_xla(x, sc, bi):
+            return ln_act_reference(x, sc, bi, eps=1e-6).astype(
+                jnp.float32).sum()
+
+        def gl_pallas(x, sc, bi):
+            return jax.grad(l_pallas)(x, sc, bi).astype(jnp.float32).sum()
+
+        def gl_xla(x, sc, bi):
+            return jax.grad(l_xla)(x, sc, bi).astype(jnp.float32).sum()
+
+        for nm, fp, fx in [("LN fwd", l_pallas, l_xla),
+                           ("LN fwd+dx", gl_pallas, gl_xla)]:
+            try:
+                tp = timeit(jax.jit(fp), x, sc, bi)
+                tx = timeit(jax.jit(fx), x, sc, bi)
+                print(f"({B},{S},{C}) {nm}: pallas {tp * 1e3:6.2f} ms "
+                      f"({2 * gb / tp:5.0f} GB/s rd+wr)  "
+                      f"xla {tx * 1e3:6.2f} ms  "
+                      f"speedup {tx / tp:4.2f}x", flush=True)
+            except Exception as e:
+                print(f"({B},{S},{C}) {nm}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
     # (B, S, C): SD level-0..3 resnet norms + the 960-ch up-block concat
     shapes = [(24, 4096, 320), (24, 4096, 640), (24, 1024, 1280),
               (24, 4096, 960), (24, 256, 1280)]
@@ -114,14 +148,14 @@ def rung23(rungs):
         legs.append(("UNet fwd+ctx-grad B=24", fwd_ctxgrad))
     for nm, f in legs:
         row = [nm]
-        for flag in ("0", "1"):
-            os.environ["EMCID_TPU_FUSED_GN"] = flag
+        for gn, ln in (("0", "0"), ("1", "0"), ("0", "1"), ("1", "1")):
+            os.environ["EMCID_TPU_FUSED_GN"] = gn
+            os.environ["EMCID_TPU_FUSED_LN"] = ln
             try:
                 tt = timeit(jax.jit(f), params, sample, t, ctx, reps=3)
-                row.append(f"GN={'fused' if flag == '1' else 'xla'} "
-                           f"{tt * 1e3:7.1f} ms")
+                row.append(f"GN={gn} LN={ln} {tt * 1e3:7.1f} ms")
             except Exception as e:
-                row.append(f"GN={flag} FAILED {type(e).__name__}: "
+                row.append(f"GN={gn} LN={ln} FAILED {type(e).__name__}: "
                            f"{str(e)[:160]}")
         print("  |  ".join(row), flush=True)
 

@@ -184,6 +184,30 @@ def test_unet_fused_flag_param_tree_identical(monkeypatch):
                                       err_msg=jax.tree_util.keystr(path))
 
 
+def test_pallas_gn_under_checkpoint_names_policy():
+    """The custom-vjp kernel composes with the level-0 selective remat
+    (jax.checkpoint + save_anything_except_these_names) — the exact
+    Stage-1 on-chip composition (engine/compute_z.py remat='level0')."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    shape, groups = (2, 8, 8, 64), 16
+    x, scale, bias = _inputs(shape, seed=7)
+    w = jax.random.normal(jax.random.PRNGKey(3), shape)
+
+    def net(x):
+        h = gn_act_pallas(x, scale, bias, groups, 1e-5, "silu", True)
+        h = checkpoint_name(h, "unet_interior")
+        h = gn_act_pallas(h, scale, bias, groups, 1e-5, "none", True)
+        return jnp.sum(h * w)
+
+    policy = jax.checkpoint_policies.save_anything_except_these_names(
+        "unet_interior")
+    g_plain = jax.grad(net)(x)
+    g_remat = jax.grad(jax.checkpoint(net, policy=policy))(x)
+    np.testing.assert_allclose(np.asarray(g_remat), np.asarray(g_plain),
+                               atol=1e-6, rtol=1e-6)
+
+
 def test_trace_knobs_key_program_memos(monkeypatch):
     """Flipping a trace-time env knob mid-process must retrace, not reuse
     a stale executable (ADVICE round-3 _OPTZ_CACHE hazard class): every
