@@ -70,6 +70,73 @@ def census(text: str, label: str):
     print(f"  -- converts: {dict(conv)} --")
 
 
+def conv_census(text: str, label: str):
+    """Per-convolution audit of a lowered program (lever (a) analysis).
+
+    The backward of a stride-2 conv lowers to a convolution with
+    ``lhs_dilate = [2, 2]`` (zero-insertion on the incoming cotangent); if
+    the backend computes it densely over the dilated domain, only
+    ``ceil(k/2)^2 / k^2`` of the MACs touch non-zero taps (4/9 for 3x3).
+    This census bounds that waste: for every stablehlo.convolution we
+    report shapes, stride, lhs_dilate and *physical* GFLOPs (dense over
+    the dilated domain), and summarize the dilated share so the value of
+    a hand-written Pallas dgrad (phase-decomposed into stride-1 convs)
+    can be priced without a TPU probe.
+    """
+    pat = re.compile(
+        r"stablehlo\.convolution\(.*?x\[([^\]]*)\]->.*?"
+        r"window = \{stride = \[([0-9, ]+)\].*?"
+        r"lhs_dilate = \[([0-9, ]+)\].*?"
+        r": \(tensor<([0-9x]+)x(\w+)>, tensor<([0-9x]+)x\w+>\)"
+        r" -> tensor<([0-9x]+)x", re.S)
+    rows = []
+    for m in pat.finditer(text):
+        rhs_dims = [d.strip() for d in m.group(1).split(",")]
+        stride = [int(s) for s in m.group(2).split(",")]
+        ldil = [int(s) for s in m.group(3).split(",")]
+        rhs = [int(d) for d in m.group(6).split("x")]
+        out = [int(d) for d in m.group(7).split("x")]
+        k_spatial, c_in = 1, 1
+        for name, d in zip(rhs_dims, rhs):
+            if name == "i":
+                c_in = d
+            elif name != "o":
+                k_spatial *= d
+        phys = 2.0 * k_spatial * c_in
+        for d in out:
+            phys *= d
+        # useful fraction when lhs-dilated: nonzero taps per window
+        useful = 1.0
+        ks = [d for name, d in zip(rhs_dims, rhs) if name not in ("i", "o")]
+        for k, dl in zip(ks, ldil):
+            useful *= ((k + dl - 1) // dl) / k
+        rows.append((m.group(4), m.group(5), tuple(rhs), tuple(out),
+                     tuple(stride), tuple(ldil), phys / 1e9, useful))
+
+    tot = sum(r[6] for r in rows)
+    dil = [r for r in rows if any(d > 1 for d in r[5])]
+    dil_phys = sum(r[6] for r in dil)
+    dil_waste = sum(r[6] * (1 - r[7]) for r in dil)
+    print(f"\n== conv census: {label} ==")
+    print(f"  {len(rows)} convolutions, {tot:.1f} physical GFLOP total")
+    print(f"  lhs-dilated (strided dgrads): {len(dil)} sites, "
+          f"{dil_phys:.1f} GFLOP physical, {dil_waste:.1f} GFLOP on "
+          f"zero taps ({100 * dil_waste / tot if tot else 0:.1f}% of all "
+          "conv work, IF lowered densely)")
+    agg = collections.Counter()
+    for r in rows:
+        agg[(r[2], r[3], r[4], r[5], r[1])] += 1
+    for (rhs, out, stride, ldil, dt), n in sorted(
+            agg.items(), key=lambda kv: -kv[1])[:24]:
+        one = next(r for r in rows
+                   if (r[2], r[3], r[4], r[5], r[1])
+                   == (rhs, out, stride, ldil, dt))
+        tag = " DILATED" if any(d > 1 for d in ldil) else ""
+        print(f"  {n:3d}x rhs={'x'.join(map(str, rhs))} "
+              f"out={'x'.join(map(str, out))} stride={stride} "
+              f"lhs_dil={ldil} {dt} {one[6]:.2f}GF{tag}")
+
+
 def main():
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -101,10 +168,14 @@ def main():
         return jax.grad(loss)(ctx)
 
     lo = jax.jit(fwd).lower(params, x, t, ctx)
-    census(lo.as_text(), f"UNet fwd (B={B})")
+    txt = lo.as_text()
+    census(txt, f"UNet fwd (B={B})")
+    conv_census(txt, f"UNet fwd (B={B})")
 
     lo = jax.jit(fwd_ctx_grad).lower(params, x, t, ctx)
-    census(lo.as_text(), f"UNet fwd + ctx-grad (B={B})")
+    txt = lo.as_text()
+    census(txt, f"UNet fwd + ctx-grad (B={B})")
+    conv_census(txt, f"UNet fwd + ctx-grad (B={B})")
 
 
 if __name__ == "__main__":

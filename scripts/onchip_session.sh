@@ -35,4 +35,8 @@ step remat python -u scripts/prof_remat.py 8,12 none,level0
 #    1024^2 last session)
 step sdxl env SDXL_PROF_SKIP_GEN=1 python -u scripts/prof_sdxl.py
 
+# 6. component backward probes (lever (a)): lowest priority — ~4 remote
+#    compiles per probe; run only if the worker is still healthy by now
+step bwd python -u scripts/prof_bwd.py
+
 echo "== session complete $(date +%H:%M:%S)"
