@@ -23,8 +23,8 @@ def timeit(fn, *args, reps=5):
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-    _ = float(np.asarray(out))
-    return (time.time() - t0) / reps
+    val = float(np.asarray(out))
+    return (time.time() - t0) / reps, val
 
 
 def rung1():
@@ -59,15 +59,38 @@ def rung1():
         for nm, fp, fx in [("LN fwd", l_pallas, l_xla),
                            ("LN fwd+dx", gl_pallas, gl_xla)]:
             try:
-                tp = timeit(jax.jit(fp), x, sc, bi)
-                tx = timeit(jax.jit(fx), x, sc, bi)
+                tp, vp = timeit(jax.jit(fp), x, sc, bi)
+                tx, vx = timeit(jax.jit(fx), x, sc, bi)
                 print(f"({B},{S},{C}) {nm}: pallas {tp * 1e3:6.2f} ms "
                       f"({2 * gb / tp:5.0f} GB/s rd+wr)  "
                       f"xla {tx * 1e3:6.2f} ms  "
-                      f"speedup {tx / tp:4.2f}x", flush=True)
+                      f"speedup {tx / tp:4.2f}x  "
+                      f"sums {vp:.6g}/{vx:.6g}", flush=True)
             except Exception as e:
                 print(f"({B},{S},{C}) {nm}: FAILED {type(e).__name__}: "
                       f"{str(e)[:200]}", flush=True)
+
+        # on-chip numeric parity (compiled, NOT interpret mode): device-side
+        # max|pallas - xla| on the full tensor and on dL/dx — the CPU tests
+        # only certify interpret mode, a default flip needs this too
+        if (B, S, C) == (24, 4096, 320):
+            def ln_diff(x, sc, bi):
+                a = ln_act_pallas(x, sc, bi, 1e-6, "none", False)
+                b = ln_act_reference(x, sc, bi, eps=1e-6)
+                da = jax.grad(l_pallas)(x, sc, bi)
+                db = jax.grad(l_xla)(x, sc, bi)
+                return (jnp.abs(a.astype(jnp.float32)
+                                - b.astype(jnp.float32)).max(),
+                        jnp.abs(da.astype(jnp.float32)
+                                - db.astype(jnp.float32)).max())
+            try:
+                df, dg = jax.jit(ln_diff)(x, sc, bi)
+                print(f"({B},{S},{C}) LN parity: max|Δfwd|="
+                      f"{float(np.asarray(df)):.3e} max|Δdx|="
+                      f"{float(np.asarray(dg)):.3e}", flush=True)
+            except Exception as e:
+                print(f"({B},{S},{C}) LN parity FAILED "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
     # (B, S, C): SD level-0..3 resnet norms + the 960-ch up-block concat
     shapes = [(24, 4096, 320), (24, 4096, 640), (24, 1024, 1280),
               (24, 4096, 960), (24, 256, 1280)]
@@ -97,15 +120,38 @@ def rung1():
         for nm, fp, fx in [("fwd", f_pallas, f_xla),
                            ("fwd+dx", g_pallas, g_xla)]:
             try:
-                tp = timeit(jax.jit(fp), x, sc, bi)
-                tx = timeit(jax.jit(fx), x, sc, bi)
+                tp, vp = timeit(jax.jit(fp), x, sc, bi)
+                tx, vx = timeit(jax.jit(fx), x, sc, bi)
                 print(f"({B},{S},{C}) {nm}: pallas {tp * 1e3:6.2f} ms "
                       f"({2 * gb / tp:5.0f} GB/s rd+wr)  "
                       f"xla {tx * 1e3:6.2f} ms  "
-                      f"speedup {tx / tp:4.2f}x", flush=True)
+                      f"speedup {tx / tp:4.2f}x  "
+                      f"sums {vp:.6g}/{vx:.6g}", flush=True)
             except Exception as e:
                 print(f"({B},{S},{C}) {nm}: FAILED {type(e).__name__}: "
                       f"{str(e)[:200]}", flush=True)
+
+        # compiled-mode parity at the standard level-0 shape and at the
+        # 960-ch concat geometry (exercises the channel-chunk path)
+        if (B, S, C) in ((24, 4096, 320), (24, 4096, 960)):
+            def gn_diff(x, sc, bi):
+                a = gn_act_pallas(x, sc, bi, 32, 1e-5, "silu", False)
+                b = gn_act_reference(x, sc, bi, num_groups=32, eps=1e-5,
+                                     act="silu")
+                da = jax.grad(f_pallas, argnums=(0,))(x, sc, bi)[0]
+                db = jax.grad(f_xla, argnums=(0,))(x, sc, bi)[0]
+                return (jnp.abs(a.astype(jnp.float32)
+                                - b.astype(jnp.float32)).max(),
+                        jnp.abs(da.astype(jnp.float32)
+                                - db.astype(jnp.float32)).max())
+            try:
+                df, dg = jax.jit(gn_diff)(x, sc, bi)
+                print(f"({B},{S},{C}) GN parity: max|Δfwd|="
+                      f"{float(np.asarray(df)):.3e} max|Δdx|="
+                      f"{float(np.asarray(dg)):.3e}", flush=True)
+            except Exception as e:
+                print(f"({B},{S},{C}) GN parity FAILED "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
 
 def _unet_setup():
@@ -152,8 +198,11 @@ def rung23(rungs):
             os.environ["EMCID_TPU_FUSED_GN"] = gn
             os.environ["EMCID_TPU_FUSED_LN"] = ln
             try:
-                tt = timeit(jax.jit(f), params, sample, t, ctx, reps=3)
-                row.append(f"GN={gn} LN={ln} {tt * 1e3:7.1f} ms")
+                tt, vv = timeit(jax.jit(f), params, sample, t, ctx, reps=3)
+                # vv is the f32 sum-loss: must agree across flag configs
+                # (weak whole-program parity on top of rung1's exact diff)
+                row.append(f"GN={gn} LN={ln} {tt * 1e3:7.1f} ms "
+                           f"sum={vv:.6g}")
             except Exception as e:
                 row.append(f"GN={gn} LN={ln} FAILED {type(e).__name__}: "
                            f"{str(e)[:160]}")
