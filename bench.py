@@ -158,8 +158,10 @@ def main():
     def gen_phase():
         # fused on-device decode->re-encode (engine.training_images): the
         # images never leave the chip as uint8
+        gen_bs = int(os.environ.get("EMCID_TPU_GEN_BATCH", "0") or 0)
         mean, logvar = generate_posteriors(
-            comps, prompts, seeds, batch_size=len(prompts),
+            comps, prompts, seeds,
+            batch_size=min(len(prompts), gen_bs) if gen_bs else len(prompts),
             num_inference_steps=gen_steps, guidance_scale=7.5,
             height=image_hw, width=image_hw, sampler=gen_sampler)
         return (mean.reshape(n_concepts, 1, n_prompts, latent_hw, latent_hw, 4),

@@ -79,6 +79,15 @@ def generate_posteriors(
 
     prompts, seeds = list(prompts), list(seeds)
     n = len(prompts)
+    if batch_size is None:
+        # HBM cap on the generation batch: every sample is independently
+        # seeded, so chunking only bounds peak memory (equal up to
+        # reduction-order float noise — tests/test_pipeline.py chunk
+        # parity), enabling C>8 concept blocks whose C*P*CFG latent batch
+        # would otherwise exhaust HBM (PERF.md round-3: B=96 gen OOM)
+        import os
+
+        batch_size = int(os.environ.get("EMCID_TPU_GEN_BATCH", "0") or 0)
     bs = batch_size or n
     if mesh is not None:
         from emcid_tpu.parallel import pad_to_multiple

@@ -292,6 +292,14 @@ def generate(
     ``mesh`` when given (eval generation is hot loop #1, SURVEY.md §3)."""
     prompts, seeds = list(prompts), list(seeds)
     n = len(prompts)
+    if batch_size is None:
+        # same HBM cap as engine.training_images.generate_posteriors:
+        # per-sample seeding makes chunking result-preserving (uint8 output
+        # is exactly equal), env-gated so C>8 concept blocks can bound
+        # their generation batch
+        import os
+
+        batch_size = int(os.environ.get("EMCID_TPU_GEN_BATCH", "0") or 0)
     bs = batch_size or n
     if mesh is not None:
         from emcid_tpu.parallel import pad_to_multiple

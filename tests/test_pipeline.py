@@ -104,6 +104,32 @@ def test_generate_chunked_matches_single_batch(components):
     np.testing.assert_array_equal(whole, chunked)
 
 
+def test_posteriors_chunked_and_env_cap_match(components, monkeypatch):
+    """EMCID_TPU_GEN_BATCH caps the generation batch without changing the
+    result: each sample is independently seeded, so the chunked posterior
+    sweep equals the single-batch one up to reduction-order float noise
+    (batch shape changes XLA tiling; the uint8 image path is exactly equal
+    — test_generate_chunked_matches_single_batch).  The knob exists purely
+    to bound HBM for C>8 concept blocks."""
+    from emcid_tpu.engine.training_images import generate_posteriors
+
+    prompts = ["a cat", "a dog", "a cat of dog"]
+    seeds = [1, 2, 3]
+    kw = dict(num_inference_steps=2, height=16, width=16)
+    m0, lv0 = generate_posteriors(components, prompts, seeds, **kw)
+    m1, lv1 = generate_posteriors(components, prompts, seeds,
+                                  batch_size=2, **kw)
+    np.testing.assert_allclose(m0, m1, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(lv0, lv1, rtol=0, atol=1e-5)
+    monkeypatch.setenv("EMCID_TPU_GEN_BATCH", "2")
+    m2, lv2 = generate_posteriors(components, prompts, seeds, **kw)
+    np.testing.assert_allclose(m0, m2, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(lv0, lv2, rtol=0, atol=1e-5)
+    # the env chunking must be the same computation as explicit batch_size=2
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_array_equal(lv1, lv2)
+
+
 def test_encode_images_roundtrip_shapes(components):
     imgs = np.random.RandomState(0).randint(0, 255, (2, 16, 16, 3), dtype=np.uint8)
     lat = encode_images(components, imgs)
