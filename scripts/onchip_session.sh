@@ -28,8 +28,9 @@ step gn python -u scripts/prof_gn.py
 # 3. CFG-interval z-agreement (decides EMCID_TPU_CFG_INTERVAL default)
 step cfg python -u scripts/prof_cfg_interval.py
 
-# 4. level-0 remat C-sweep (C=12 fit?)
-step remat python -u scripts/prof_remat.py 8,12 none,level0
+# 4. level-0 remat C-sweep (C=12/16 fit?  gen OOM is solved separately by
+#    EMCID_TPU_GEN_BATCH, so stage-1 fit is the only open question)
+step remat python -u scripts/prof_remat.py 8,12,16 none,level0
 
 # 5. SDXL stage-1 / x-kv timings (generation skipped: compiler 500'd at
 #    1024^2 last session)
