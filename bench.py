@@ -158,7 +158,12 @@ def main():
     def gen_phase():
         # fused on-device decode->re-encode (engine.training_images): the
         # images never leave the chip as uint8
+        # C>8 blocks only fit HBM with the generation batch capped (the
+        # B=2*C*P CFG batch OOMs at C=16, PERF.md round 3); 24 prompts
+        # (48 with CFG) is the C=8 shape that is known to fit
         gen_bs = int(os.environ.get("EMCID_TPU_GEN_BATCH", "0") or 0)
+        if not gen_bs and n_concepts > 8 and not tiny:
+            gen_bs = 24
         mean, logvar = generate_posteriors(
             comps, prompts, seeds,
             batch_size=min(len(prompts), gen_bs) if gen_bs else len(prompts),
