@@ -188,9 +188,20 @@ def compute_zs_for_requests(
     eps_dest_pool: Optional[int] = None,
     z_sched: Optional[str] = None,
     cfg_interval: Optional[float] = None,
+    train_res: Optional[int] = None,
     verbose: bool = True,
 ) -> np.ndarray:
     """All concepts' z vectors (R, T, H): cache hits + blocked Stage-1 runs.
+
+    ``train_res`` (or ``EMCID_TPU_TRAIN_RES``) lowers the TRAINING-image
+    resolution below the pipeline's native size (reference protocol: the
+    pipe default, 512 for SD — compute_z.py:384-418); Stage-1 then also
+    optimizes at the smaller latent grid.  OPT-IN guarded deviation
+    (quadratic FLOP lever: 384 ≈ 0.56x gen+Stage-1 cost): default
+    None/0 is reference-exact; guards tests/test_train_res.py +
+    test_deviation_guards.py; flip only after an on-chip z-agreement
+    measurement (scripts/prof_trainres.py).  Eval generation is never
+    affected.
 
     ``eps_dest_pool=K`` precomputes the stop-gradient eps_dest forwards
     over a K-draw pool instead of one fresh forward per step (~-25% step
@@ -290,6 +301,14 @@ def compute_zs_for_requests(
             eps_pool=int(eps_dest_pool), lr_sched=z_sched,
         )
         res = components.unet.config.sample_size * components.vae_scale
+        if train_res is None:
+            train_res = int(os.environ.get("EMCID_TPU_TRAIN_RES", "0") or 0)
+        if train_res:
+            if train_res % components.vae_scale:
+                raise ValueError(
+                    f"train_res={train_res} must be divisible by the VAE "
+                    f"scale factor {components.vae_scale}")
+            res = int(train_res)
         if train_steps is None:
             # dpm++ reaches PNDM-50 quality by ~25 steps; never raise the
             # step count above what the caller asked for (tiny smoke runs
@@ -427,6 +446,7 @@ def apply_emcid(
     eps_dest_pool: Optional[int] = None,
     z_sched: Optional[str] = None,
     cfg_interval: Optional[float] = None,
+    train_res: Optional[int] = None,
     verbose: bool = True,
 ) -> Tuple[SDComponents, Dict]:
     """Full two-stage edit of a pipeline's text encoder.
@@ -457,7 +477,7 @@ def apply_emcid(
         fim=fim, mesh=mesh, clip_align=clip_align,
         train_sampler=train_sampler, train_steps=train_steps,
         eps_dest_pool=eps_dest_pool, z_sched=z_sched,
-        cfg_interval=cfg_interval, verbose=verbose,
+        cfg_interval=cfg_interval, train_res=train_res, verbose=verbose,
     )
     deltas, new_text_params = execute_emcid_text_encoder(
         components.text_encoder, components.text_params,

@@ -28,6 +28,10 @@ step gn python -u scripts/prof_gn.py
 # 3. CFG-interval z-agreement (decides EMCID_TPU_CFG_INTERVAL default)
 step cfg python -u scripts/prof_cfg_interval.py
 
+# 3b. training-resolution z-agreement (decides EMCID_TPU_TRAIN_RES default;
+#     the largest single lever: 384 ≈ 0.56x gen+Stage-1 FLOPs)
+step trainres python -u scripts/prof_trainres.py
+
 # 4. level-0 remat C-sweep (C=12/16 fit?  gen OOM is solved separately by
 #    EMCID_TPU_GEN_BATCH, so stage-1 fit is the only open question)
 step remat python -u scripts/prof_remat.py 8,12,16 none,level0

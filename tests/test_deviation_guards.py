@@ -130,6 +130,17 @@ def test_cfg_interval_metric_parity(comps, scorer, tmp_path):
 
 
 @pytest.mark.slow
+def test_train_res_metric_parity(comps, scorer, tmp_path):
+    """Deviation #5 (training-resolution lever, OPT-IN): training images +
+    Stage-1 at half the native resolution must keep AICE metrics inside
+    the native protocol's own seed noise (the tiny 8-vs-16 ratio is MORE
+    aggressive than the product candidate 384-vs-512)."""
+    low = _run_mode(comps, scorer, tmp_path / "lr", train_res=8)
+    nat = _run_mode(comps, scorer, tmp_path / "nr", train_res=16)
+    _assert_within_noise(low, nat, "train_res 8 vs 16")
+
+
+@pytest.mark.slow
 def test_z_schedule_metric_parity(comps, scorer, tmp_path):
     """Deviation #3 (cosine fast z protocol): must match the const
     reference protocol's AICE metrics at a protocol-sized step count
