@@ -161,9 +161,10 @@ def main():
         # C>8 blocks only fit HBM with the generation batch capped (the
         # B=2*C*P CFG batch OOMs at C=16, PERF.md round 3); 24 prompts
         # (48 with CFG) is the C=8 shape that is known to fit
-        gen_bs = int(os.environ.get("EMCID_TPU_GEN_BATCH", "0") or 0)
-        if not gen_bs and n_concepts > 8 and not tiny:
-            gen_bs = 24
+        gen_env = os.environ.get("EMCID_TPU_GEN_BATCH")
+        gen_bs = int(gen_env or 0)
+        if gen_env is None and n_concepts > 8 and not tiny:
+            gen_bs = 24  # explicit EMCID_TPU_GEN_BATCH=0 opts out of the cap
         mean, logvar = generate_posteriors(
             comps, prompts, seeds,
             batch_size=min(len(prompts), gen_bs) if gen_bs else len(prompts),

@@ -304,10 +304,16 @@ def compute_zs_for_requests(
         if train_res is None:
             train_res = int(os.environ.get("EMCID_TPU_TRAIN_RES", "0") or 0)
         if train_res:
-            if train_res % components.vae_scale:
+            # the latent grid must survive the UNet's stride-2 chain with
+            # clean halvings or the up-path skip concats mismatch (e.g.
+            # 400 -> 50x50 latents -> 50/25/13/7 crashes at the 13-vs-14
+            # skip); SD (3 downsamples, vae_scale 8) needs multiples of 64
+            factor = components.vae_scale * (
+                2 ** (len(components.unet.config.block_out_channels) - 1))
+            if train_res % factor:
                 raise ValueError(
-                    f"train_res={train_res} must be divisible by the VAE "
-                    f"scale factor {components.vae_scale}")
+                    f"train_res={train_res} must be divisible by "
+                    f"vae_scale * 2^n_downsamples = {factor}")
             res = int(train_res)
         if train_steps is None:
             # dpm++ reaches PNDM-50 quality by ~25 steps; never raise the

@@ -299,7 +299,11 @@ def generate(
         # their generation batch
         import os
 
-        batch_size = int(os.environ.get("EMCID_TPU_GEN_BATCH", "0") or 0)
+        env_bs = int(os.environ.get("EMCID_TPU_GEN_BATCH", "0") or 0)
+        # the env value is a CAP, not a target: never pad a small prompt
+        # list UP to it (an explicit batch_size argument MAY exceed n —
+        # callers use that to keep one compiled shape across calls)
+        batch_size = min(env_bs, n) if env_bs else None
     bs = batch_size or n
     if mesh is not None:
         from emcid_tpu.parallel import pad_to_multiple

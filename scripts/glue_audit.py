@@ -105,11 +105,13 @@ def conv_census(text: str, label: str):
         phys = 2.0 * k_spatial * c_in
         for d in out:
             phys *= d
-        # useful fraction when lhs-dilated: nonzero taps per window
+        # useful fraction when lhs-dilated: AVERAGE nonzero taps per window
+        # across output phases is k/d taps of k per dim (windows alternate
+        # between ceil(k/d) and floor(k/d) nonzero taps), i.e. 1/d per dim
         useful = 1.0
         ks = [d for name, d in zip(rhs_dims, rhs) if name not in ("i", "o")]
         for k, dl in zip(ks, ldil):
-            useful *= ((k + dl - 1) // dl) / k
+            useful *= 1.0 / dl
         rows.append((m.group(4), m.group(5), tuple(rhs), tuple(out),
                      tuple(stride), tuple(ldil), phys / 1e9, useful))
 

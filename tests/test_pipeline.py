@@ -128,6 +128,12 @@ def test_posteriors_chunked_and_env_cap_match(components, monkeypatch):
     # the env chunking must be the same computation as explicit batch_size=2
     np.testing.assert_array_equal(m1, m2)
     np.testing.assert_array_equal(lv1, lv2)
+    # the env value is a CAP: a cap above n must NOT pad the batch up
+    # (same program as uncapped -> bitwise equal)
+    monkeypatch.setenv("EMCID_TPU_GEN_BATCH", "64")
+    m3, lv3 = generate_posteriors(components, prompts, seeds, **kw)
+    np.testing.assert_array_equal(m0, m3)
+    np.testing.assert_array_equal(lv0, lv3)
 
 
 def test_encode_images_roundtrip_shapes(components):
