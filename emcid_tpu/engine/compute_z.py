@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import os
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
@@ -173,7 +173,8 @@ class ZOptimizer:
     # scan (~100 steps ≈ minutes of device time) trips the runtime watchdog
     # on the tunneled TPU, so the step loop is chunked at the host with the
     # (delta, opt_state, rng) carry threaded between executions
-    chunk_steps: int = int(os.environ.get("EMCID_TPU_Z_CHUNK", 20))
+    chunk_steps: int = field(default_factory=lambda: int(
+        os.environ.get("EMCID_TPU_Z_CHUNK", 20)))
 
     # finite eps_dest pool (0 = off): precompute the stop-gradient
     # eps_dest (and eps_src for esd) UNet forwards over a K-sample
@@ -186,13 +187,15 @@ class ZOptimizer:
     # Monte-Carlo estimate of the same expectation.  Parity guard:
     # tests/test_eps_pool.py (tiny-AICE efficacy + z-direction agreement).
     # Ignored when a record/replay noise_override is supplied.
-    eps_pool: int = int(os.environ.get("EMCID_TPU_EPS_POOL", 0))
+    eps_pool: int = field(default_factory=lambda: int(
+        os.environ.get("EMCID_TPU_EPS_POOL", 0)))
 
     # Stage-1 lr protocol: "const" = reference-exact (Adam at v_lr for
     # v_num_grad_steps); "cosine" = the guarded fast protocol (cosine decay
     # peaking at z_peak*v_lr over z_frac*v_num_grad_steps steps; only
     # engages for runs >= 50 steps).  See run() for the deviation note.
-    lr_sched: str = os.environ.get("EMCID_TPU_Z_SCHED", "const")
+    lr_sched: str = field(default_factory=lambda: os.environ.get(
+        "EMCID_TPU_Z_SCHED", "const"))
     z_frac: float = 0.6
     z_peak: float = 2.0
 
@@ -216,7 +219,8 @@ class ZOptimizer:
     # attention's custom_vjp already recomputes the N^2 internals, so stored
     # residuals are only conv/dense inputs.  "dots" fails to compile at
     # these shapes (compiler OOM).
-    remat: str = os.environ.get("EMCID_TPU_Z_REMAT", "none")
+    remat: str = field(default_factory=lambda: os.environ.get(
+        "EMCID_TPU_Z_REMAT", "none"))
     # False surfaces RESOURCE_EXHAUSTED instead of escalating the remat
     # ladder (probes want the raw OOM; the product default stays True)
     hbm_fallback: bool = True

@@ -65,9 +65,30 @@ def get_factors(
                     or separate_requests[0].get("seed_train") or 0)
     prompt = "an image of {}".format(separate_requests[0]["source"])
 
+    def measure(edited):
+        imgs = generate(
+            edited, [prompt] * num_samples,
+            [base_seed + i for i in range(num_samples)],
+            **(gen_kwargs or {}),
+        )
+        return classify_ratio(scorer, imgs, dests)
+
+    return _factor_search(
+        components, hparams, separate_zs, separate_requests, covs, factors,
+        desired, step_length, max_diff, max_iter, mom2_weight, edit_weight,
+        measure, verbose)
+
+
+def _factor_search(components, hparams, separate_zs, separate_requests,
+                   covs, factors, desired, step_length, max_diff, max_iter,
+                   mom2_weight, edit_weight, measure, verbose):
+    """Shared factor-search update loop (get_factors / get_factors_v0 —
+    only the image-sampling protocol differs, injected via ``measure``).
+
+    Reference emcid_main.py:1461 (and :1558 in v0) mutates step_length in
+    place, i.e. a COMPOUNDING product decay step_length *= (1 - it/max_iter).
+    """
     for it in range(max_iter):
-        # reference emcid_main.py:1461 mutates step_length in place, i.e. a
-        # COMPOUNDING product decay step_length *= (1 - it/max_iter)
         step_length = step_length - step_length / max_iter * it
         balanced_z = sum(f * np.asarray(z) for f, z in zip(factors, separate_zs))
         zs = balanced_z[None]  # (1, T, H) or (1, H)
@@ -80,12 +101,7 @@ def get_factors(
             mom2_weight=mom2_weight, edit_weight=edit_weight, verbose=False,
         )
         edited = components.replace_text_params(edited_params)
-        imgs = generate(
-            edited, [prompt] * num_samples,
-            [base_seed + i for i in range(num_samples)],
-            **(gen_kwargs or {}),
-        )
-        cur = classify_ratio(scorer, imgs, dests)
+        cur = measure(edited)
         diffs = [c - d for c, d in zip(cur, desired)]
         if max(abs(d) for d in diffs) <= max_diff:
             if verbose:
@@ -149,19 +165,7 @@ def get_factors_v0(
     _random.seed(base_seed)
     seeds = _random.sample(range(100000), num_seeds)
 
-    for it in range(max_iter):
-        step_length = step_length - step_length / max_iter * it
-        balanced_z = sum(f * np.asarray(z) for f, z in zip(factors, separate_zs))
-        zs = balanced_z[None]
-        if zs.ndim == 2:
-            zs = zs[:, None, :]
-        _, edited_params = execute_emcid_text_encoder(
-            components.text_encoder, components.text_params,
-            components.tokenizer, [separate_requests[0]], hparams,
-            zs=jnp.asarray(zs), covs=covs,
-            mom2_weight=mom2_weight, edit_weight=edit_weight, verbose=False,
-        )
-        edited = components.replace_text_params(edited_params)
+    def measure(edited):
         for seed in seeds:
             # reference quirk: cnts reset here, so only the last seed counts
             imgs = generate(
@@ -170,17 +174,12 @@ def get_factors_v0(
                 **(gen_kwargs or {}),
             )
             cur = classify_ratio(scorer, imgs, dests)
-        diffs = [c - d for c, d in zip(cur, desired)]
-        if max(abs(d) for d in diffs) <= max_diff:
-            if verbose:
-                print("current ratios:", cur)
-            break
-        factors = [max(f - step_length * d, 0.0) for f, d in zip(factors, diffs)]
-        total = sum(factors) or 1.0
-        factors = [f / total for f in factors]
-        if verbose:
-            print(f"ratios: {cur}, factors: {factors}")
-    return factors
+        return cur
+
+    return _factor_search(
+        components, hparams, separate_zs, separate_requests, covs, factors,
+        desired, step_length, max_diff, max_iter, mom2_weight, edit_weight,
+        measure, verbose)
 
 
 def get_factors_repr(

@@ -321,10 +321,20 @@ def sdxl_training_latents(
     height: int = 1024,
     width: int = 1024,
     num_inference_steps: int = 50,
+    cfg_interval: Optional[float] = None,
     verbose: bool = False,
 ):
     """(C, Simg, P, h, w, c) training-image posterior for SDXL requests:
-    provided images, else SDXL-sampled source-prompt images."""
+    provided images, else SDXL-sampled source-prompt images.
+
+    ``cfg_interval`` defaults from ``EMCID_TPU_CFG_INTERVAL`` exactly like
+    the SD path (engine.training_images.training_latents_for_requests):
+    training images only, 1.0 = reference protocol."""
+    import os as _os
+
+    if cfg_interval is None:
+        cfg_interval = float(_os.environ.get("EMCID_TPU_CFG_INTERVAL",
+                                             "1.0"))
     from emcid_tpu.engine.training_images import (
         encode_posterior, preprocess_images,
     )
@@ -364,7 +374,8 @@ def sdxl_training_latents(
                 print(f"generating {len(prompts)} SDXL training images")
             imgs = generate_sdxl(components, prompts, seeds,
                                  num_inference_steps=num_inference_steps,
-                                 height=height, width=width)
+                                 height=height, width=width,
+                                 cfg_interval=cfg_interval)
             arr = imgs.astype(np.float32) / 255.0 * 2.0 - 1.0
         imgs_all.append(arr)
     arr = np.concatenate(imgs_all)

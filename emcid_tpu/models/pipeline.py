@@ -205,6 +205,10 @@ def sample_latents(
     conditional half-batch only (guidance contributes little there —
     Kynkäänniemi et al. 2024).  1.0 (default) is the reference protocol."""
     assert len(prompts) == len(seeds), "one seed per prompt"
+    if not 0.0 < cfg_interval <= 1.0:
+        # catch typos like EMCID_TPU_CFG_INTERVAL=6 (meaning 0.6): >1 would
+        # silently disable the lever, <=0 would silently run 1 guided step
+        raise ValueError(f"cfg_interval={cfg_interval} must be in (0, 1]")
     ctx_cond = encode_prompts(components, prompts)
     do_cfg = guidance_scale > 1.0
     if do_cfg:

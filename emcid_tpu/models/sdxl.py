@@ -123,10 +123,16 @@ def sample_latents_sdxl(
     height: int = 1024,
     width: int = 1024,
     sampler: str = "ddim",
+    cfg_interval: float = 1.0,
 ) -> jnp.ndarray:
     """CFG sampling with SDXL added conditions, one scanned program.
-    ``sampler``: ddim (default) / pndm / dpm++ (see models.scheduler)."""
+    ``sampler``: ddim (default) / pndm / dpm++ (see models.scheduler).
+    ``cfg_interval < 1`` truncates guidance to the first fraction of steps
+    (same lever + semantics as models.pipeline.sample_latents)."""
     from emcid_tpu.models.pipeline import initial_latents
+
+    if not 0.0 < cfg_interval <= 1.0:
+        raise ValueError(f"cfg_interval={cfg_interval} must be in (0, 1]")
 
     ctx_c, pool_c = encode_prompts_sdxl(components, prompts)
     neg = negative_prompts if negative_prompts is not None else [""] * len(prompts)
@@ -141,10 +147,12 @@ def sample_latents_sdxl(
 
     key = (components.unet.config, num_inference_steps,
            components.schedule.num_train_timesteps, sampler,
-           trace_env_knobs())
+           cfg_interval, trace_env_knobs())
     if key not in _SDXL_SAMPLER_CACHE:
         ts = ddim_timesteps(components.schedule, num_inference_steps)
         ts_prev = np.concatenate([ts[1:], [-1]]).astype(np.int32)
+        n_head = (max(1, int(round(cfg_interval * len(ts))))
+                  if cfg_interval < 1.0 else None)
         unet = components.unet
         schedule = components.schedule
 
@@ -156,6 +164,14 @@ def sample_latents_sdxl(
                 "text_embeds": jnp.concatenate([pool_u, pool_c], axis=0),
                 "time_ids": jnp.concatenate([tids, tids], axis=0),
             }
+
+            added_c = {"text_embeds": pool_c, "time_ids": tids}
+
+            def eps_cond(lat, t):
+                return unet.apply(
+                    {"params": unet_params}, lat,
+                    jnp.broadcast_to(t, (B,)), ctx_c, added_c,
+                ).sample
 
             def unet_eps(lat, t):
                 lat2 = jnp.concatenate([lat, lat], axis=0)
@@ -169,7 +185,8 @@ def sample_latents_sdxl(
             from emcid_tpu.models.scheduler import scan_sampler
 
             return scan_sampler(sampler, schedule, unet_eps, latents,
-                                ts, ts_prev)
+                                ts, ts_prev, unet_eps_tail=eps_cond,
+                                n_head=n_head)
 
         _SDXL_SAMPLER_CACHE[key] = run
     return _SDXL_SAMPLER_CACHE[key](

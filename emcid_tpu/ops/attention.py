@@ -158,8 +158,11 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 # dispatch
 # ---------------------------------------------------------------------------
 
-# sequences at least this long route to the memory-bounded kernels
-FLASH_MIN_SEQ = int(os.environ.get("EMCID_TPU_FLASH_MIN_SEQ", 1024))
+def _flash_min_seq() -> int:
+    """Sequences at least this long route to the memory-bounded kernels.
+    Read at trace time (not import time) so runtime.trace_env_knobs can
+    key program memos on it."""
+    return int(os.environ.get("EMCID_TPU_FLASH_MIN_SEQ", 1024))
 
 
 def attention(q, k, v, scale: Optional[float] = None) -> jnp.ndarray:
@@ -168,7 +171,8 @@ def attention(q, k, v, scale: Optional[float] = None) -> jnp.ndarray:
     is already MXU-shaped)."""
     N, M = q.shape[1], k.shape[1]
     scale = scale if scale is not None else q.shape[-1] ** -0.5
-    if max(N, M) < FLASH_MIN_SEQ or os.environ.get("EMCID_TPU_NO_FLASH") == "1":
+    if (max(N, M) < _flash_min_seq()
+            or os.environ.get("EMCID_TPU_NO_FLASH") == "1"):
         s = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
         p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
         return jnp.einsum("bhqk,bkhd->bqhd", p, v)

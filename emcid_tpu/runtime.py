@@ -78,5 +78,7 @@ def trace_env_knobs() -> tuple:
             "EMCID_TPU_FLASH_BQ", "EMCID_TPU_FLASH_BK",
             "EMCID_TPU_FLASH_BQ_BWD", "EMCID_TPU_FLASH_BK_BWD",
             "EMCID_TPU_Z_REMAT", "EMCID_TPU_Z_CHUNK",
+            "EMCID_TPU_NO_FLASH", "EMCID_TPU_ATTN",
+            "EMCID_TPU_FLASH_MIN_SEQ",
         )
     )

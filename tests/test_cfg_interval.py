@@ -83,6 +83,55 @@ def test_cfg_interval_tail_is_conditional_only(comps):
     assert not np.array_equal(np.asarray(trunc), np.asarray(no_cfg))
 
 
+def test_sdxl_cfg_interval(monkeypatch):
+    """The lever must work on the SDXL path too (same semantics as SD):
+    1.0 == default bitwise, <1 changes latents, out-of-range raises, and
+    sdxl_training_latents reads the same env default."""
+    from emcid_tpu.engine.sdxl import sdxl_training_latents
+    from emcid_tpu.hparams import EMCIDXLHyperParams
+    from emcid_tpu.models.sdxl import (
+        build_tiny_sdxl_pipeline, sample_latents_sdxl,
+    )
+
+    comps = build_tiny_sdxl_pipeline(seed=0, words=["cat", "dog"])
+    kw = dict(num_inference_steps=4, height=16, width=16, sampler="dpm++",
+              guidance_scale=5.0)
+    a = sample_latents_sdxl(comps, ["a photo of cat"], [3], **kw)
+    b = sample_latents_sdxl(comps, ["a photo of cat"], [3],
+                            cfg_interval=1.0, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = sample_latents_sdxl(comps, ["a photo of cat"], [3],
+                            cfg_interval=0.25, **kw)
+    assert np.isfinite(np.asarray(c)).all()
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+    with pytest.raises(ValueError, match="cfg_interval"):
+        sample_latents_sdxl(comps, ["a photo of cat"], [3],
+                            cfg_interval=6.0, **kw)
+
+    hp = EMCIDXLHyperParams.from_dict({
+        "layers": [0, 1], "layers_2": [1, 2], "clamp_norm_factor": 1.2,
+        "layer_selection": "all", "fact_token": "subject_last",
+        "mom2_update_weight": 100, "mom2_update_weight_2": 200,
+        "rewrite_module_tmp": "text_model.encoder.layers.{}.mlp.fc2",
+        "layer_module_tmp": "text_model.encoder.layers.{}",
+        "mlp_module_tmp": "text_model.encoder.layers.{}.mlp",
+        "attn_module_tmp": "text_model.encoder.layers.{}.self_attn",
+        "ln_f_module": "text_model.final_layer_norm",
+        "mom2_dataset": "ccs_filtered", "mom2_n_samples": 30,
+        "mom2_dtype": "float32", "v_num_grad_steps": 1, "v_lr": 0.1,
+        "v_weight_decay": 5e-4, "mom2_adjustment": True,
+        "objective": "ablate-dest", "esd_mu": "None"})
+    reqs = [{"prompts": ["a photo of {}"], "source": "cat", "dest": "dog",
+             "seed_train": 1}]
+    tkw = dict(height=16, width=16, num_inference_steps=4)
+    monkeypatch.delenv("EMCID_TPU_CFG_INTERVAL", raising=False)
+    ref_m, _ = sdxl_training_latents(comps, reqs, hp, **tkw)
+    monkeypatch.setenv("EMCID_TPU_CFG_INTERVAL", "0.5")
+    trunc_m, _ = sdxl_training_latents(comps, reqs, hp, **tkw)
+    assert np.isfinite(trunc_m).all()
+    assert not np.array_equal(ref_m, trunc_m)
+
+
 def test_training_images_env_restore(comps, monkeypatch):
     """EMCID_TPU_CFG_INTERVAL drives the training-image default; unset (or
     1.0) reproduces the reference protocol exactly."""

@@ -105,15 +105,25 @@ def test_get_factors_converges_structurally(world, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_get_factors_v0_structural(world, rng):
+def test_get_factors_v0_structural(world, rng, monkeypatch):
     """Legacy v0 search: runs the multi-seed protocol, keeps factors
     normalized, never mutates the caller's components, and its seed list
-    reproduces the reference's random.sample draw."""
+    reproduces the reference's random.sample draw (checked against the
+    seeds actually handed to generate(), not against the stdlib)."""
     import random
 
+    import emcid_tpu.engine.debias as debias_mod
     from emcid_tpu.engine.debias import get_factors_v0
 
     comps, scorer = world
+    seen_seed_lists = []
+    real_generate = debias_mod.generate
+
+    def spy_generate(components, prompts, seeds, **kw):
+        seen_seed_lists.append(list(seeds))
+        return real_generate(components, prompts, seeds, **kw)
+
+    monkeypatch.setattr(debias_mod, "generate", spy_generate)
     hp = _hp()
     zs = [rng.randn(1, 32).astype(np.float32) * 0.1 for _ in range(2)]
     reqs = [
@@ -133,10 +143,16 @@ def test_get_factors_v0_structural(world, rng):
     for a, b in zip(jax.tree.leaves(params_before),
                     jax.tree.leaves(comps.text_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # seed-list parity with reference emcid_main.py:1574-1576
-    random.seed(5)
-    assert random.sample(range(100000), 2) == random.Random(5).sample(
-        range(100000), 2)
+    # seed-list parity with reference emcid_main.py:1574-1576: the REQUEST
+    # seed (5) must seed random.sample(range(100000), num_seeds), and each
+    # sampled seed expands to num_samples per-image seeds seed*N+i —
+    # asserted on the seeds generate() actually received
+    expected_seeds = random.Random(5).sample(range(100000), 2)
+    expected_lists = [[s * 2 + i for i in range(2)] for s in expected_seeds]
+    per_iter = len(expected_lists)
+    assert len(seen_seed_lists) % per_iter == 0 and seen_seed_lists
+    for it_start in range(0, len(seen_seed_lists), per_iter):
+        assert seen_seed_lists[it_start:it_start + per_iter] == expected_lists
 
 
 @pytest.mark.slow
