@@ -56,16 +56,9 @@ from emcid_tpu.text.token_range import find_token_range
 def _is_hbm_exhausted(e: Exception) -> bool:
     """True for an XLA RESOURCE_EXHAUSTED (HBM OOM) runtime error.
 
-    Prefer the typed runtime error (execution / allocation failures are
-    raised as XlaRuntimeError with the status name in the message); fall
-    back to a plain substring so an OOM wrapped by another layer of the
-    tunneled backend still triggers the remat escalation."""
-    try:
-        from jaxlib.xla_extension import XlaRuntimeError
-        if isinstance(e, XlaRuntimeError):
-            return "RESOURCE_EXHAUSTED" in str(e)
-    except ImportError:
-        pass
+    A plain substring check covers both the typed XlaRuntimeError (the
+    status name is in the message) and an OOM wrapped by another layer of
+    the tunneled backend."""
     return "RESOURCE_EXHAUSTED" in str(e)
 
 
@@ -196,8 +189,12 @@ class ZOptimizer:
     # engages for runs >= 50 steps).  See run() for the deviation note.
     lr_sched: str = field(default_factory=lambda: os.environ.get(
         "EMCID_TPU_Z_SCHED", "const"))
-    z_frac: float = 0.6
-    z_peak: float = 2.0
+    # env supplies the DEFAULT only (instance-time read); explicit
+    # constructor args win — same precedence as every other knob
+    z_frac: float = field(default_factory=lambda: float(
+        os.environ.get("EMCID_TPU_Z_FRAC", 0.6)))
+    z_peak: float = field(default_factory=lambda: float(
+        os.environ.get("EMCID_TPU_Z_PEAK", 2.0)))
 
     # UNet-forward rematerialization policy for the backward pass:
     #   "full" — jax.checkpoint: backward recomputes the whole forward
@@ -259,7 +256,6 @@ class ZOptimizer:
         (noisy, t, eps_dest[, eps_src]) — shapes (K, C, P, ...)."""
         hp = self.hparams
         C, P, S = batch.source_ids.shape
-        H = self.text_model.config.hidden_size
         n_train_ts = self.schedule.num_train_timesteps
         flat = lambda x: x.reshape((C * P,) + x.shape[2:])
 
@@ -322,7 +318,6 @@ class ZOptimizer:
         C, P, S = batch.source_ids.shape
         T = batch.inject_mask.shape[1]
         H = self.text_model.config.hidden_size
-        lat_shape = batch.latents_mean.shape[3:]
         n_train_ts = self.schedule.num_train_timesteps
 
         flat = lambda x: x.reshape((C * P,) + x.shape[2:])
@@ -602,9 +597,8 @@ class ZOptimizer:
         # record/replay seam stay step-exact.
         sched = self.lr_sched
         if sched == "cosine" and total >= 50 and noise_override is None:
-            frac = float(os.environ.get("EMCID_TPU_Z_FRAC", self.z_frac))
-            peak = hp.v_lr * float(
-                os.environ.get("EMCID_TPU_Z_PEAK", self.z_peak))
+            frac = float(self.z_frac)
+            peak = hp.v_lr * float(self.z_peak)
             total = max(1, int(round(frac * total)))
             lr_values = (0.5 * peak * (1.0 + np.cos(
                 np.pi * np.arange(total) / total))).astype(np.float32)
@@ -631,14 +625,28 @@ class ZOptimizer:
                     kchunk = max(1, min(K, int(15.0 / max(est, 1e-3))))
                 except Exception:
                     pass
-            parts = [
-                self._build_pool(text_params, unet_params, batch,
-                                 keys[i:i + kchunk])
-                for i in range(0, K, kchunk)
-            ]
-            pool = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs) if len(xs) > 1 else xs[0],
-                *parts)
+            try:
+                parts = [
+                    self._build_pool(text_params, unet_params, batch,
+                                     keys[i:i + kchunk])
+                    for i in range(0, K, kchunk)
+                ]
+                pool = jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs) if len(xs) > 1 else xs[0],
+                    *parts)
+                # force async dispatch errors (OOM) to surface HERE, not at
+                # a later materialization inside the step loop where the
+                # remat ladder cannot cure a poisoned pool
+                np.asarray(jax.tree.leaves(pool)[0].ravel()[0])
+            except Exception as e:
+                if not self.hbm_fallback or not _is_hbm_exhausted(e):
+                    raise
+                # graceful degrade: fresh per-step eps_dest resampling IS
+                # the reference-exact protocol (compute_z.py:493-534) —
+                # slower (+1 fwd-equivalent/step) but always correct
+                print("[emcid_tpu] eps_dest pool build exhausted HBM; "
+                      "falling back to fresh per-step resampling")
+                pool = None
         chunk = max(1, min(self.chunk_steps, total)) if total else 1
         # watchdog guard: a single device execution beyond ~60 s crashes the
         # tunneled TPU worker (observed: 80 steps x 0.78 s => worker
@@ -752,9 +760,11 @@ def compute_z_text_encoder_batch(
     zs, delta, z0, losses = optz.run(text_params, unet_params, batch, rng)
     if verbose:
         C = zs.shape[0]
+        final = (f"{float(losses[-1]):.6f}" if len(losses)
+                 else "n/a (0 steps)")
         print(
             f"Init norm {float(jnp.linalg.norm(z0.reshape(C, -1), axis=-1).mean()):.3f} | "
             f"Delta norm {float(jnp.linalg.norm(delta.reshape(C, -1), axis=-1).mean()):.3f} | "
-            f"final loss {float(losses[-1]):.6f}"
+            f"final loss {final}"
         )
     return np.asarray(zs), np.asarray(losses)

@@ -102,14 +102,12 @@ def save_z_cache(cache_name: str, request: Dict, z: np.ndarray, hparams=None,
 
 
 def _solve_inline(C, K, lam, refine_steps=2):
-    """f32 Cholesky + iterative refinement, inlined for fusion into the
-    one-pass insert program (same math as ops.solve._solve_f32_ir)."""
-    A = lam * C + jnp.dot(K, K.T, preferred_element_type=jnp.float32)
-    L = jsl.cholesky(A, lower=True)
-    x = jsl.cho_solve((L, True), K)
-    for _ in range(refine_steps):
-        x = x + jsl.cho_solve((L, True), K - A @ x)
-    return x
+    """f32 Cholesky + iterative refinement for the one-pass insert program
+    (ops.solve._solve_f32_ir; the nested jit inlines into the caller's
+    trace, so the fused single-program property is unchanged)."""
+    from emcid_tpu.ops.solve import _solve_f32_ir
+
+    return _solve_f32_ir(C, K, lam, refine_steps=refine_steps)
 
 
 # Compiled one-pass insert programs, keyed by (model config, dtype, edit
@@ -245,6 +243,12 @@ def execute_emcid_text_encoder(
     lam = float(mom2_weight if mom2_weight is not None else hparams.mom2_update_weight)
     alpha = float(edit_weight if edit_weight is not None else hparams.edit_weight)
     layers: List[int] = list(hparams.layers)
+    if layers != sorted(set(layers)):
+        # the one-pass walk visits layers in ascending model order but
+        # positions residual divisors / covs by LIST order — out-of-order
+        # or duplicate layers would silently pair them wrong
+        raise ValueError(
+            f"hparams.layers must be strictly ascending, got {layers}")
     n_spread = len(layers)
 
     if batch is None:
@@ -343,7 +347,10 @@ def apply_emcid_to_text_encoder(
             for k, i in enumerate(missing):
                 z_list[i] = np.asarray(computed[k])
                 if cache_name is not None:
-                    save_z_cache(cache_name, requests[i], z_list[i], hparams)
+                    # idx must match load_z_list's z_cache_path(..., idx=i):
+                    # SLD-supervised requests key on source_{cat}_{idx}
+                    save_z_cache(cache_name, requests[i], z_list[i], hparams,
+                                 idx=i)
         zs = jnp.asarray(np.stack(z_list))
         if zs.ndim == 2:
             zs = zs[:, None, :]

@@ -80,5 +80,6 @@ def trace_env_knobs() -> tuple:
             "EMCID_TPU_Z_REMAT", "EMCID_TPU_Z_CHUNK",
             "EMCID_TPU_NO_FLASH", "EMCID_TPU_ATTN",
             "EMCID_TPU_FLASH_MIN_SEQ",
+            "EMCID_TPU_Z_FRAC", "EMCID_TPU_Z_PEAK",
         )
     )

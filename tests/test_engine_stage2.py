@@ -245,6 +245,62 @@ def test_z_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(z_list[0], z)
 
 
+def test_sld_z_cache_roundtrip(tmp_path):
+    """SLD-supervised requests key the cache on source_{cat}_{idx}
+    (reference emcid_main.py:879-884) — a save that drops the index would
+    collide every same-category request into one file and never hit on
+    reload (regression: apply_emcid_to_text_encoder passed no idx)."""
+    import types
+
+    cache = str(tmp_path / "zs") + "/"
+    hp = types.SimpleNamespace(objective="ablate-dest", sld_supervision=True)
+    reqs = [{"source": "nude", "dest": "safe", "source_cat": "nudity"},
+            {"source": "gore", "dest": "safe", "source_cat": "nudity"}]
+    z0 = np.random.RandomState(0).randn(32).astype(np.float32)
+    z1 = np.random.RandomState(1).randn(32).astype(np.float32)
+    for i, z in enumerate((z0, z1)):
+        save_z_cache(cache, reqs[i], z, hp, idx=i)
+    z_list, missing = load_z_list(reqs, cache, hp)
+    assert missing == []
+    np.testing.assert_array_equal(z_list[0], z0)
+    np.testing.assert_array_equal(z_list[1], z1)
+
+
+def test_apply_saves_sld_cache_under_indexed_key(setup, tmp_path):
+    """Call-level regression: apply_emcid_to_text_encoder must save
+    computed z's under the SAME indexed key load_z_list reads — a second
+    call with a poisoned compute_z_fn must be a pure cache hit."""
+    import dataclasses
+
+    from emcid_tpu.engine.emcid import apply_emcid_to_text_encoder
+
+    tok, model, params = setup
+    hp = dataclasses.replace(make_hparams([1]), sld_supervision=True)
+    cache = str(tmp_path / "zs") + "/"
+    reqs = [{"prompts": ["a photo of a {}"], "source": "cat", "dest": "dog",
+             "source_cat": "animals"},
+            {"prompts": ["a photo of a {}"], "source": "tench",
+             "dest": "goldfish", "source_cat": "animals"}]
+    rng = np.random.RandomState(0)
+    out_dim = model.config.hidden_size
+    in_dim = model.config.intermediate_size
+    zs_store = [rng.randn(1, out_dim).astype(np.float32) for _ in reqs]
+    covs = [np.eye(in_dim, dtype=np.float32) for _ in hp.layers]
+
+    def compute_z_fn(missing_reqs):
+        return [zs_store[reqs.index(r)] for r in missing_reqs]
+
+    def poisoned(_):
+        raise AssertionError("cache miss: SLD z cache was not reloaded")
+
+    _ = apply_emcid_to_text_encoder(
+        model, params, tok, reqs, hp, covs=covs, cache_name=cache,
+        compute_z_fn=compute_z_fn, verbose=False)
+    _ = apply_emcid_to_text_encoder(
+        model, params, tok, reqs, hp, covs=covs, cache_name=cache,
+        compute_z_fn=poisoned, verbose=False)
+
+
 def test_layer_stats_matches_manual(setup, tmp_path):
     tok, model, params = setup
     captions = [f"a photo of a {w}" for w in WORDS] * 5
