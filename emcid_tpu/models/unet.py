@@ -110,13 +110,18 @@ def _fused_ln() -> bool:
 def _ln(x, *, dtype, name: str, tag: bool = False):
     """Transformer-block LayerNorm: stock flax by default; the fused
     Pallas kernel under EMCID_TPU_FUSED_LN=1 (same parameter-twin trick
-    as ``_gn_act`` — the param tree is identical either way)."""
+    as ``_gn_act`` — the param tree is identical either way).
+
+    eps=1e-5 matches torch's nn.LayerNorm default, which is what the
+    reference's diffusers BasicTransformerBlock LayerNorms run (diffusers
+    attention.py constructs nn.LayerNorm with no eps argument); flax's
+    1e-6 default would be a silent parity deviation at all 48 sites."""
     if _fused_ln():
         from emcid_tpu.ops.layernorm import layer_norm_act
 
         scale, bias = _GNParams(x.shape[-1], name=name)()
-        return _tag(layer_norm_act(x, scale, bias, eps=1e-6), tag)
-    return _tag(nn.LayerNorm(dtype=dtype, name=name)(x), tag)
+        return _tag(layer_norm_act(x, scale, bias, eps=1e-5), tag)
+    return _tag(nn.LayerNorm(epsilon=1e-5, dtype=dtype, name=name)(x), tag)
 
 
 def _gn_act(x, *, groups: int, eps: float, dtype, name: str,

@@ -255,8 +255,9 @@ def _bwd(res, g, scale: float, interpret: bool = False):
     vf = jnp.pad(to_bh(v, M), ((0, 0), (0, Mp - M), (0, Dp - D)))
     dof = jnp.pad(to_bh(g, N), ((0, 0), (0, Np - N), (0, Dp - D)))
     qt = jnp.swapaxes(qf, 1, 2)                       # (BH, Dp, Np)
-    kt = jnp.pad(jnp.swapaxes(to_bh(k, M), 1, 2),
-                 ((0, 0), (0, Dt - D), (0, Mp - M)))  # (BH, Dt, Mp)
+    # derive from kf (already padded) instead of re-reading/transposing k:
+    # the Dp-D pad rows are zero, so truncating to Dt rows is exact
+    kt = jnp.swapaxes(kf, 1, 2)[:, :Dt, :]            # (BH, Dt, Mp)
     dot_ = jnp.swapaxes(dof, 1, 2)                    # (BH, Dp, Np)
 
     # delta_i = sum_d dO_i * O_i (O saved as a residual by the forward —

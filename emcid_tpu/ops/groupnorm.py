@@ -174,14 +174,13 @@ def _bwd_kernel(x_ref, g_ref, sc_ref, bi_ref, st_ref,
     mean_c = _dot(st_ref[0, 0:1, :], M.T)                     # (1, Cc)
     r_c = _dot(st_ref[0, 1:2, :], M.T)
     sc = sc_ref[...].astype(jnp.float32)
-    bi = bi_ref[...].astype(jnp.float32)
 
     def dz_xhat(i):
         xc = x_ref[0, pl.ds(i * R, R), :].astype(jnp.float32)
         gc = g_ref[0, pl.ds(i * R, R), :].astype(jnp.float32)
         xhat = (xc - mean_c) * r_c
         if act == "silu":
-            z = xhat * sc + bi
+            z = xhat * sc + bi_ref[...].astype(jnp.float32)
             sig = jax.nn.sigmoid(z)
             dz = gc * sig * (1.0 + z * (1.0 - sig))
         else:
@@ -218,8 +217,10 @@ def _bwd_kernel(x_ref, g_ref, sc_ref, bi_ref, st_ref,
     dbi_ref[...] += a1
 
 
-def _bwd_call(x3, g3, scale, bias, st, G: int, eps: float, act: str,
+def _bwd_call(x3, g3, scale, bias, st, G: int, act: str,
               interpret: bool):
+    # no eps parameter: the backward never recomputes rstd — it reads the
+    # (mean, rstd) saved by the forward from st
     B, S, C = x3.shape
     Cg = C // G
     Cc = _pick_chunk(S, C, G, x3.dtype.itemsize, n_big=3)
@@ -295,7 +296,7 @@ def _vjp_fwd(x, scale, bias, num_groups, eps, act, interpret):
 def _vjp_bwd(num_groups, eps, act, interpret, res, g):
     x3, scale, bias, st = res
     g3 = g.reshape(x3.shape)
-    dx, dsc, dbi = _bwd_call(x3, g3, scale, bias, st, num_groups, eps, act,
+    dx, dsc, dbi = _bwd_call(x3, g3, scale, bias, st, num_groups, act,
                              interpret)
     return (dx.reshape(g.shape), dsc.astype(scale.dtype),
             dbi.astype(bias.dtype))

@@ -12,13 +12,18 @@ These kernels do one read + one write:
   normalize, affine, write.  Nothing is saved for the backward — the
   row stats are recomputed from the VMEM-resident x chunk.
 * **backward** — same grid; the LN VJP's two row reductions and dx come
-  from one read each of x and the cotangent; dγ/dβ accumulate in their
-  output block, which every grid step revisits (index map is constant).
+  from one read each of x and the cotangent; dγ/dβ accumulate into a
+  PER-BATCH partial block (only the row-chunk dim revisits state, so the
+  batch dim stays Megacore-parallel); XLA sums the B partials outside.
 
 Parity: flax ``nn.LayerNorm`` semantics (f32 stats, fast variance), the
-UNet's norm1/2/3 (matching the reference's diffusers BasicTransformerBlock
-torch.nn.LayerNorm).  Used by models/unet.py behind EMCID_TPU_FUSED_LN=1
-(default off until scripts/prof_gn.py measures it on-chip).
+UNet's norm1/2/3 — the reference runs these through diffusers
+``BasicTransformerBlock`` (diffusers/models/attention.py, ``self.norm1/2/3
+= nn.LayerNorm(dim)``) whose torch default eps is 1e-5; models/unet.py
+passes eps=1e-5 accordingly (reference call path:
+/root/reference/emcid/compute_z.py:397-418 via pipe.unet).  Used by
+models/unet.py behind EMCID_TPU_FUSED_LN=1 (default off until
+scripts/prof_gn.py measures it on-chip).
 """
 
 from __future__ import annotations
@@ -45,7 +50,7 @@ def _pick_rows(S: int, C: int, itemsize: int, n_big: int) -> Optional[int]:
     return best
 
 
-def _rowstats(xc: jnp.ndarray, C: int, eps: float):
+def _rowstats(xc: jnp.ndarray, eps: float):
     mean = jnp.mean(xc, axis=-1, keepdims=True)                # (R, 1)
     var = jnp.maximum(jnp.mean(xc * xc, axis=-1, keepdims=True)
                       - mean * mean, 0.0)
@@ -55,7 +60,7 @@ def _rowstats(xc: jnp.ndarray, C: int, eps: float):
 def _fwd_kernel(x_ref, sc_ref, bi_ref, y_ref, *, C: int, eps: float,
                 act: str):
     xc = x_ref[0].astype(jnp.float32)                          # (R, C)
-    mean, r = _rowstats(xc, C, eps)
+    mean, r = _rowstats(xc, eps)
     y = (xc - mean) * r * sc_ref[...].astype(jnp.float32) \
         + bi_ref[...].astype(jnp.float32)
     if act == "silu":
@@ -65,12 +70,11 @@ def _fwd_kernel(x_ref, sc_ref, bi_ref, y_ref, *, C: int, eps: float,
 
 def _bwd_kernel(x_ref, g_ref, sc_ref, bi_ref, dx_ref, dsc_ref, dbi_ref, *,
                 C: int, eps: float, act: str):
-    b = pl.program_id(0)
     i = pl.program_id(1)
     xc = x_ref[0].astype(jnp.float32)
     gc = g_ref[0].astype(jnp.float32)
     sc = sc_ref[...].astype(jnp.float32)
-    mean, r = _rowstats(xc, C, eps)
+    mean, r = _rowstats(xc, eps)
     xhat = (xc - mean) * r
     if act == "silu":
         z = xhat * sc + bi_ref[...].astype(jnp.float32)
@@ -83,7 +87,10 @@ def _bwd_kernel(x_ref, g_ref, sc_ref, bi_ref, dx_ref, dsc_ref, dbi_ref, *,
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx_ref[0] = (r * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
 
-    @pl.when((b == 0) & (i == 0))
+    # dγ/dβ accumulate into a PER-BATCH partial block, so only the
+    # row-chunk dim (i) revisits state and the batch dim stays parallel
+    # (Megacore); XLA sums the B partials outside the kernel
+    @pl.when(i == 0)
     def _():
         dsc_ref[...] = jnp.zeros_like(dsc_ref)
         dbi_ref[...] = jnp.zeros_like(dbi_ref)
@@ -132,21 +139,21 @@ def _bwd_call(x3, g3, scale, bias, eps, act, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, R, C), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (b, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, S, C), x3.dtype),
-            jax.ShapeDtypeStruct((1, C), jnp.float32),
-            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, C), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            # every grid step accumulates into the dγ/dβ block
-            dimension_semantics=("arbitrary", "arbitrary"),
+            # only the row-chunk dim revisits the per-batch dγ/dβ block
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(x3, g3, sc2, bi2)
-    return dx, dsc.reshape(C), dbi.reshape(C)
+    return dx, dsc.sum(axis=0), dbi.sum(axis=0)
 
 
 def fits(shape: Tuple[int, ...], itemsize: int = 2) -> bool:
