@@ -417,7 +417,9 @@ def compute_zs_for_requests(
                     flops_per_step=stage1_step_flops(
                         components.unet.config, len(block),
                         len(block[0]["prompts"]),
-                        latent_hw=components.unet.config.sample_size,
+                        # train_res shrinks the latent grid — report the
+                        # grid Stage-1 actually ran, not the native size
+                        latent_hw=res // components.vae_scale,
                         remat=optz.remat,
                         eps_dest_pooled=bool(optz.eps_pool)),
                 )

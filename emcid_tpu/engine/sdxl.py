@@ -74,10 +74,39 @@ def compute_z_sdxl_text_encoders(
     n2 = text2.config.num_hidden_layers
     H1, H2 = text1.config.hidden_size, text2.config.hidden_size
 
+    if getattr(hp, "replace_repr", False):
+        raise NotImplementedError(
+            "replace_repr=True (reference compute_z.py:709/731 replaces the "
+            "hidden state instead of adding the delta) is not implemented; "
+            "no shipped hparams JSON uses it")
+
     hp1_view = encoder_hparams_view(hp, 1)
     arrays, _, _ = prepare_concept_batch(tok, requests, hp1_view)
     C, P, S = arrays["source_ids"].shape
     T = arrays["inject_mask"].shape[1]
+
+    # encoder-2 tokenization (reference compute_z.py:805-826 tokenizes
+    # separately with pipe.tokenizer_2): both SDXL tokenizers share the
+    # CLIP BPE vocab, so ids and lookup indices are identical — the ONLY
+    # difference is the pad token (tokenizer pads with eos=49407,
+    # tokenizer_2 pads with '!'=0), i.e. every position after the first
+    # EOS becomes 0.  SDXL applies no attention mask, so those positions
+    # feed the UNet and must match the reference.  Reference quirk kept
+    # exactly: the DEST-side encoder-2 forward uses the encoder-1
+    # tokenization (compute_z.py:857 passes dest_prompts_inp, not _2);
+    # only the SOURCE-side forward uses the tokenizer_2 ids (:926).
+    eos_id = int(getattr(tok, "eos_token_id", None)
+                 or np.max(arrays["source_ids"]))
+    pad2_id = int(getattr(getattr(components, "tokenizer_2", None),
+                          "pad_token_id", 0) or 0)
+
+    def to_ids_2(ids):
+        is_eos = ids == eos_id
+        eos_pos = np.argmax(is_eos, axis=-1)  # first EOS per row
+        after = np.arange(ids.shape[-1])[None, None, :] > eos_pos[..., None]
+        return np.where(after, pad2_id, ids).astype(ids.dtype)
+
+    src_ids_2_np = to_ids_2(arrays["source_ids"])
     if mesh is not None:
         from emcid_tpu.parallel import replicate, shard_batch
 
@@ -92,14 +121,26 @@ def compute_z_sdxl_text_encoders(
     else:
         put = jnp.asarray
     src_ids = put(arrays["source_ids"])
+    src_ids_2 = put(src_ids_2_np)
     dest_ids = put(arrays["dest_ids"])
     inj_mask = put(arrays["inject_mask"])  # same token mask, both encoders
     lat_mean = put(latents_mean)
     lat_logvar = put(latents_logvar)
     tids = sdxl_time_ids(P, height, width)
+    # per-request txt_align gate (reference compute_z.py:989 request.get
+    # ("txt_align", True)) as a per-concept weight for the vmapped loss
+    ta_w = put(np.asarray(
+        [1.0 if r.get("txt_align", True) else 0.0 for r in requests],
+        np.float32))
+    # per-request use_real_noise OR hparams.use_sampled_noise (reference
+    # compute_z.py:961-965): target becomes the true noise
+    samp_w = put(np.asarray(
+        [1.0 if (getattr(hp, "use_sampled_noise", False)
+                 or r.get("use_real_noise", False)) else 0.0
+         for r in requests], np.float32))
 
     def encode(params1, params2, ids2d, delta1=None, delta2=None,
-               mask2d=None):
+               mask2d=None, ids2d_2=None):
         kw1, kw2 = {}, {}
         if delta1 is not None:
             kw1 = dict(inject_layer=z1_layer,
@@ -109,32 +150,39 @@ def compute_z_sdxl_text_encoders(
                        inject_delta=jnp.einsum("tns,th->nsh", mask2d, delta2))
         o1 = text1.apply({"params": params1}, ids2d,
                          capture=("layer_out",), **kw1)
-        o2 = text2.apply({"params": params2}, ids2d,
+        o2 = text2.apply({"params": params2},
+                         ids2d if ids2d_2 is None else ids2d_2,
                          capture=("layer_out",), **kw2)
         ctx = jnp.concatenate(
             [o1.taps["layer_out"][n1 - 2], o2.taps["layer_out"][n2 - 2]],
             axis=-1,
         )
-        return ctx, o2.pooled_output
+        return ctx, o1.pooled_output, o2.pooled_output
 
     from functools import partial
 
     @partial(jax.jit, static_argnames=("steps",))
     def run(p1, p2, pu, rng, steps, carry_in=None):
         flat = lambda x: x.reshape((C * P,) + x.shape[2:])
-        dest_ctx, dest_pool = encode(p1, p2, flat(dest_ids))
+        # dest side: BOTH encoders consume the encoder-1 tokenization —
+        # reference quirk replicated exactly (compute_z.py:845-860)
+        dest_ctx, dest_pool1, dest_pool2 = encode(p1, p2, flat(dest_ids))
         dest_ctx = dest_ctx.reshape(C, P, S, -1)
-        dest_pool = dest_pool.reshape(C, P, -1)
+        dest_pool1 = dest_pool1.reshape(C, P, -1)
+        dest_pool2 = dest_pool2.reshape(C, P, -1)
 
-        # z0 per encoder at the edit layers, first prompt
-        def z0_for(text, params, z_layer):
-            out = text.apply({"params": params}, src_ids[:, 0],
+        # z0 per encoder at the edit layers, first prompt — encoder 2
+        # gathers over its OWN tokenization (reference :726-735 hooks
+        # text_model_to_edit_2 fed source_prompts_inp_2; lookup indices
+        # are identical because only pad positions differ)
+        def z0_for(text, params, z_layer, ids):
+            out = text.apply({"params": params}, ids[:, 0],
                              capture=("layer_out",), stop_at_layer=z_layer)
             lo = out.taps["layer_out"][z_layer]
             return jnp.einsum("cts,csh->cth", inj_mask[:, :, 0, :], lo)
 
-        z0_1 = z0_for(text1, p1, z1_layer)
-        z0_2 = z0_for(text2, p2, z2_layer)
+        z0_1 = z0_for(text1, p1, z1_layer, src_ids)
+        z0_2 = z0_for(text2, p2, z2_layer, src_ids_2)
         z0n_1 = jnp.linalg.norm(z0_1.reshape(C, -1), axis=-1)
         z0n_2 = jnp.linalg.norm(z0_2.reshape(C, -1), axis=-1)
 
@@ -142,18 +190,24 @@ def compute_z_sdxl_text_encoders(
 
         def concept_loss(deltas, data, key):
             d1, d2 = deltas
-            (ids, m, d_ctx, d_pool, lm, lv, z1n, z2n) = data
-            k_post, k_noise, k_t = jax.random.split(key, 3)
-            mean = lm[0]
-            latents = mean + jnp.exp(0.5 * lv[0]) * jax.random.normal(
+            (ids, ids_2, m, d_ctx, d_pool1, d_pool2, lm, lv, z1n, z2n,
+             ta, samp) = data
+            k_img, k_post, k_noise, k_t = jax.random.split(key, 4)
+            # sample image index per prompt per step (reference
+            # compute_z.py:845-847 sample_indices = randint(0, Simg, ...))
+            Simg = lm.shape[0]
+            img_idx = jax.random.randint(k_img, (P,), 0, Simg)
+            mean = lm[img_idx, jnp.arange(P)]
+            logvar = lv[img_idx, jnp.arange(P)]
+            latents = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
                 k_post, mean.shape, mean.dtype)
             noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
             timesteps = jax.random.randint(
                 k_t, (P,), 0, schedule.num_train_timesteps)
             noisy = add_noise(schedule, latents, noise, timesteps)
-            ctx, pool = encode(p1, p2, ids, d1, d2, m)
-            added_e = {"text_embeds": pool, "time_ids": tids}
-            added_d = {"text_embeds": d_pool, "time_ids": tids}
+            ctx, pool1, pool2 = encode(p1, p2, ids, d1, d2, m, ids2d_2=ids_2)
+            added_e = {"text_embeds": pool2, "time_ids": tids}
+            added_d = {"text_embeds": d_pool2, "time_ids": tids}
 
             @jax.checkpoint
             def unet_fwd(ctx, added):
@@ -161,16 +215,27 @@ def compute_z_sdxl_text_encoders(
                                   added).sample
 
             eps_e = unet_fwd(ctx, added_e)
-            eps_d = jax.lax.stop_gradient(unet_fwd(d_ctx, added_d))
-            mse = jnp.mean((eps_e - eps_d) ** 2)
             reg = hp.v_weight_decay * (
                 jnp.sqrt(jnp.sum(d1**2) + 1e-12) / z1n**2
                 + jnp.sqrt(jnp.sum(d2**2) + 1e-12) / z2n**2
             )
-            loss = mse + reg
+            if hp.no_noise_loss:
+                # regularizer-only objective (reference compute_z.py:966-984)
+                loss = reg
+            else:
+                eps_d = jax.lax.stop_gradient(unet_fwd(d_ctx, added_d))
+                # use_sampled_noise / request use_real_noise: target is the
+                # TRUE noise (reference :961-965); blended per concept so
+                # one program serves mixed blocks
+                mse_ablate = jnp.mean((eps_e - eps_d) ** 2)
+                mse_noise = jnp.mean((eps_e - noise) ** 2)
+                loss = samp * mse_noise + (1.0 - samp) * mse_ablate + reg
             if hp.cal_text_repr_loss:
-                loss = loss + hp.text_repr_loss_scale_factor * jnp.mean(
-                    (pool - d_pool) ** 2)
+                # BOTH encoders' pooled alignment, gated per request
+                # (reference compute_z.py:989-997)
+                loss = loss + ta * hp.text_repr_loss_scale_factor * (
+                    jnp.mean((pool1 - d_pool1) ** 2)
+                    + jnp.mean((pool2 - d_pool2) ** 2))
             return loss
 
         per_concept = jax.vmap(jax.value_and_grad(concept_loss), (0, 0, 0))
@@ -179,8 +244,9 @@ def compute_z_sdxl_text_encoders(
             (d1, d2), opt_state, key = carry
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, C)
-            data = (src_ids, inj_mask, dest_ctx, dest_pool, lat_mean,
-                    lat_logvar, z0n_1, z0n_2)
+            data = (src_ids, src_ids_2, inj_mask, dest_ctx, dest_pool1,
+                    dest_pool2, lat_mean, lat_logvar, z0n_1, z0n_2,
+                    ta_w, samp_w)
             loss, grads = per_concept((d1, d2), data, keys)
             updates, opt_state = opt.update(grads, opt_state, (d1, d2))
             d1, d2 = optax.apply_updates((d1, d2), updates)
@@ -372,9 +438,12 @@ def sdxl_training_latents(
                     seeds.append(seed0 * 10007 + s * 101 + p_i)
             if verbose:
                 print(f"generating {len(prompts)} SDXL training images")
+            # guidance_scale=7.5 is the reference training-image protocol
+            # (compute_z.py:764/780), NOT generate_sdxl's eval default 5.0
             imgs = generate_sdxl(components, prompts, seeds,
                                  num_inference_steps=num_inference_steps,
                                  height=height, width=width,
+                                 guidance_scale=7.5,
                                  cfg_interval=cfg_interval)
             arr = imgs.astype(np.float32) / 255.0 * 2.0 - 1.0
         imgs_all.append(arr)
@@ -410,23 +479,31 @@ def apply_emcid_to_sdxl_text_encoders(
     mesh=None,
     verbose: bool = True,
 ):
-    """Stage-1 (with v_star_1/v_star_2 npz caching) + Stage-2 glue
-    (reference apply_emcid_to_sd_xl_text_encoders, emcid_main.py:38-106).
+    """Stage-1 (with the reference's two-file v_star npz caching) + Stage-2
+    glue (reference apply_emcid_to_sd_xl_text_encoders, emcid_main.py:38-106).
     With ``mesh``, the Stage-1 concept block shards over devices (padded to
-    a device multiple by repeating the last request)."""
+    a device multiple by repeating the last request).
+
+    Cache codec is byte-compatible with the reference (emcid_main.py:
+    1157-1227): encoder-1 z at ``source_X_dest_Y.npz`` and encoder-2 z at
+    ``source_X_dest_Y_2.npz``, BOTH keyed "v_star" — a reference-written
+    cache directory loads here and vice versa."""
     from emcid_tpu.engine.emcid import z_cache_path
+
+    def cache_paths(request):
+        p1 = z_cache_path(cache_name, request, hparams)
+        return p1, p1.with_name(p1.stem + "_2" + p1.suffix)
 
     zs_1: List[Optional[np.ndarray]] = [None] * len(requests)
     zs_2: List[Optional[np.ndarray]] = [None] * len(requests)
     missing = []
     for i, request in enumerate(requests):
         if cache_name is not None:
-            p = z_cache_path(cache_name, request, hparams)
-            if p.exists():
+            p1, p2 = cache_paths(request)
+            if p1.exists() and p2.exists():
                 try:
-                    data = np.load(p)
-                    zs_1[i] = data["v_star_1"]
-                    zs_2[i] = data["v_star_2"]
+                    zs_1[i] = np.load(p1)["v_star"]
+                    zs_2[i] = np.load(p2)["v_star"]
                     continue
                 except Exception as e:
                     print(f"Error reading cache file due to {e}. Recomputing...")
@@ -451,9 +528,10 @@ def apply_emcid_to_sdxl_text_encoders(
         for k, i in enumerate(missing):
             zs_1[i], zs_2[i] = z1[k], z2[k]
             if cache_name is not None:
-                p = z_cache_path(cache_name, requests[i], hparams)
-                p.parent.mkdir(exist_ok=True, parents=True)
-                np.savez(p, v_star_1=z1[k], v_star_2=z2[k])
+                p1, p2 = cache_paths(requests[i])
+                p1.parent.mkdir(exist_ok=True, parents=True)
+                np.savez(p1, v_star=z1[k])
+                np.savez(p2, v_star=z2[k])
     return execute_emcid_sd_xl_text_encoders(
         components, requests, hparams,
         np.stack(zs_1), np.stack(zs_2), covs_1, covs_2,

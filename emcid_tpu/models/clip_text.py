@@ -208,7 +208,6 @@ class CLIPTextEncoder(nn.Module):
         stop_at_layer: Optional[int] = None,
         embed_noise: Optional[jnp.ndarray] = None,
         patch_spec: Optional[Dict[int, jnp.ndarray]] = None,
-        final_ln: bool = True,
     ) -> TextOutput:
         cfg = self.config
         B, S = input_ids.shape
@@ -248,13 +247,7 @@ class CLIPTextEncoder(nn.Module):
         if stop_at_layer is not None:
             return TextOutput(hidden, None, taps)
 
-        if final_ln:
-            hidden, pooled = self.final(hidden, input_ids)
-        else:
-            eos_pos = jnp.argmax(
-                (input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1
-            )
-            pooled = hidden[jnp.arange(B), eos_pos]
+        hidden, pooled = self.final(hidden, input_ids)
         return TextOutput(hidden, pooled, taps)
 
     def init_params(self, rng, seq_len: Optional[int] = None):

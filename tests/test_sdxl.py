@@ -98,6 +98,48 @@ def test_sdxl_stage1_joint(comps, rng):
     assert not np.allclose(zs1, zs1b) and not np.allclose(zs2, zs2b)
 
 
+def test_sdxl_stage1_reference_protocol_knobs(comps, rng):
+    """The Stage-1 parity wiring added after the round-4 review:
+    (a) per-request txt_align gates the dual pooled-alignment term;
+    (b) no_noise_loss runs the regularizer-only objective;
+    (c) use_sampled_noise switches the target to the true noise;
+    (d) encoder-2 consumes tokenizer_2 ids (pad 0) on the source side."""
+    mean, logvar = _latents(1, rng)
+    kw = dict(height=16, width=16, verbose=False)
+
+    # (a) txt_align=False must change the optimized z vs txt_align=True
+    hp = _hp(cal_text_repr_loss=True, text_repr_loss_scale_factor=0.5,
+             v_num_grad_steps=3)
+    on = compute_z_sdxl_text_encoders(
+        comps, [dict(REQS[0], txt_align=True)], hp, mean, logvar, **kw)
+    off = compute_z_sdxl_text_encoders(
+        comps, [dict(REQS[0], txt_align=False)], hp, mean, logvar, **kw)
+    assert not np.allclose(on[0], off[0])
+
+    # (b)/(c): the three objectives give three different trajectories
+    base = compute_z_sdxl_text_encoders(
+        comps, REQS, _hp(v_num_grad_steps=3), mean, logvar, **kw)
+    nn_ = compute_z_sdxl_text_encoders(
+        comps, REQS, _hp(v_num_grad_steps=3, no_noise_loss=True),
+        mean, logvar, **kw)
+    sn = compute_z_sdxl_text_encoders(
+        comps, REQS, _hp(v_num_grad_steps=3, use_sampled_noise=True),
+        mean, logvar, **kw)
+    assert not np.allclose(base[0], nn_[0])
+    assert not np.allclose(base[0], sn[0])
+    assert not np.allclose(nn_[0], sn[0])
+    for z in (base, nn_, sn):
+        assert np.isfinite(z[0]).all() and np.isfinite(z[1]).all()
+
+
+def test_sdxl_replace_repr_fails_loudly(comps, rng):
+    mean, logvar = _latents(1, rng)
+    with pytest.raises(NotImplementedError, match="replace_repr"):
+        compute_z_sdxl_text_encoders(
+            comps, REQS, _hp(replace_repr=True), mean, logvar,
+            height=16, width=16, verbose=False)
+
+
 def test_sdxl_stage2_edits_both_encoders(comps, rng):
     hp = _hp()
     zs1 = rng.randn(1, 1, 16).astype(np.float32) * 0.3
@@ -144,10 +186,13 @@ def test_sdxl_apply_with_cache(comps, rng, tmp_path):
         cache_name=cache, height=16, width=16, verbose=False)
     import glob
 
-    files = glob.glob(cache + "*.npz")
-    assert len(files) == 1
-    data = np.load(files[0])
-    assert "v_star_1" in data and "v_star_2" in data
+    # reference two-file codec (emcid_main.py:1157-1227): source_X_dest_Y.npz
+    # + source_X_dest_Y_2.npz, both keyed "v_star"
+    files = sorted(glob.glob(cache + "*.npz"))
+    assert len(files) == 2
+    assert files[1].endswith("_2.npz")
+    for f in files:
+        assert "v_star" in np.load(f)
     # second run hits the cache (same result deterministically)
     d1b, d2b, edited2 = apply_emcid_to_sdxl_text_encoders(
         comps, REQS, hp, mean, logvar, c1, c2,
