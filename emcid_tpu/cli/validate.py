@@ -62,10 +62,17 @@ def pndm_trajectory_ours(schedule, shape, num_steps: int = 8,
     lat = jnp.asarray(rng.randn(*shape).astype(np.float32))
     ts = ddim_timesteps(schedule, num_steps)
     ts_prev = np.concatenate([ts[1:], [-1]]).astype(np.int32)
+    # diffusers skip-prk PNDM duplicates the second timestep and Heun-
+    # corrects the first transition (same arrays scan_sampler builds);
+    # the torch golden script iterates sched.timesteps, which includes
+    # the duplicate, so both sides simulate N+1 steps
+    ts_eval = np.concatenate([ts[:1], ts[1:2], ts[1:]])
+    ts_tr = np.concatenate([ts[:1], ts[:1], ts[1:]])
+    ts_tr_prev = np.concatenate([ts_prev[:1], ts_prev[:1], ts_prev[1:]])
     state = pndm_init(lat.shape, lat.dtype)
     traj = []
-    for t, tp in zip(ts, ts_prev):
-        eps = jnp.asarray(synthetic_eps(np.asarray(lat), int(t)))
+    for te, t, tp in zip(ts_eval, ts_tr, ts_tr_prev):
+        eps = jnp.asarray(synthetic_eps(np.asarray(lat), int(te)))
         state, lat = pndm_step(schedule, state, lat, eps, int(t), int(tp))
         traj.append(np.asarray(lat))
     return np.stack(traj)

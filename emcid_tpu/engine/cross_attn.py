@@ -157,17 +157,41 @@ def compute_z_unet_x_kv(
     ctx_src = components.text_encoder.apply(
         {"params": components.text_params}, jnp.asarray(batch.input_ids)
     ).last_hidden_state
-    dest_prompts = [p.format(request.get("dest", "")) for p in request["prompts"]]
-    ctx_dst = encode_prompts(components, dest_prompts)
+    # supervision contexts (reference compute_z.py:2536-2543): the
+    # unconditional [""] representation always; the request's safe_words
+    # under SLD supervision
+    ctx_unc = jnp.asarray(encode_prompts(components, [""] * P0))
+    sld = bool(getattr(hp, "sld_supervision", False))
+    if sld:
+        ctx_safe = jnp.asarray(encode_prompts(
+            components, [request["safe_words"]] * P0))
+        sld_type = getattr(hp, "sld_type", "max") or "max"
+        if sld_type == "max":
+            sld_gs, sld_thr = 5000.0, 1.0
+        elif sld_type == "strong":
+            sld_gs, sld_thr = 2000.0, 0.025
+        else:
+            raise ValueError(f"sld_type {sld_type} not supported")
+    else:
+        ctx_safe = ctx_unc  # unused placeholder, keeps data pytree static
+        sld_gs = sld_thr = 0.0
+        esd_mu = getattr(hp, "esd_mu", None)
+        if hp.objective != "esd" or esd_mu in (None, "None"):
+            raise ValueError(
+                "compute_z_unet_x_kv supports only the reference's two "
+                "supervision modes (compute_z.py:2583-2605): "
+                "hparams.sld_supervision or objective='esd' with esd_mu")
     if reps > 1:
         ctx_src = jnp.tile(ctx_src, (reps, 1, 1))
-        ctx_dst = jnp.tile(jnp.asarray(ctx_dst), (reps, 1, 1))
+        ctx_unc = jnp.tile(ctx_unc, (reps, 1, 1))
+        ctx_safe = jnp.tile(ctx_safe, (reps, 1, 1))
         latents_mean = np.tile(np.asarray(latents_mean), (1, reps, 1, 1, 1))
         latents_logvar = np.tile(np.asarray(latents_logvar),
                                  (1, reps, 1, 1, 1))
     if mesh is not None:
         ctx_src = shard_batch(ctx_src, mesh)
-        ctx_dst = shard_batch(jnp.asarray(ctx_dst), mesh)
+        ctx_unc = shard_batch(ctx_unc, mesh)
+        ctx_safe = shard_batch(ctx_safe, mesh)
         tok_mask = shard_batch(tok_mask, mesh)
 
     z0 = {
@@ -186,7 +210,8 @@ def compute_z_unet_x_kv(
 
     opt = optax.adam(hp.v_lr)
     z0_norm = {name: jnp.linalg.norm(z0[name][0]) for name in kv_names}
-    data = dict(ctx_src=ctx_src, ctx_dst=ctx_dst, tok_mask=tok_mask,
+    data = dict(ctx_src=ctx_src, ctx_unc=ctx_unc, ctx_safe=ctx_safe,
+                tok_mask=tok_mask,
                 lat_mean=lat_mean, lat_logvar=lat_logvar, z0n=z0_norm)
 
     # params and activations enter as jit ARGUMENTS: a closure-captured
@@ -199,14 +224,20 @@ def compute_z_unet_x_kv(
     @partial(jax.jit, static_argnames=())
     def run_chunk(pu, data, carry, keys):
         def loss_fn(deltas, key):
-            k_post, k_noise, k_t = jax.random.split(key, 3)
-            mean = data["lat_mean"][0]
+            k_img, k_post, k_noise, k_t = jax.random.split(key, 4)
+            # random training-image sample per prompt per step (reference
+            # compute_z.py:2549-2555)
+            Simg = data["lat_mean"].shape[0]
+            img_idx = jax.random.randint(k_img, (P0,), 0, Simg)
+            pr = jnp.arange(P0)
+            mean = data["lat_mean"][img_idx, pr]
+            logvar = data["lat_logvar"][img_idx, pr]
             # draws at the ORIGINAL prompt count, tiled — duplicates are
             # exact copies, so the sharded loss equals the unsharded one
             shape0 = (P0,) + mean.shape[1:]
             tile = lambda x: (jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))
                               if reps > 1 else x)
-            latents = mean + jnp.exp(0.5 * data["lat_logvar"][0]) * tile(
+            latents = tile(mean) + tile(jnp.exp(0.5 * logvar)) * tile(
                 jax.random.normal(k_post, shape0, mean.dtype))
             noise = tile(jax.random.normal(k_noise, shape0, mean.dtype))
             timesteps = tile(jax.random.randint(
@@ -228,14 +259,30 @@ def compute_z_unet_x_kv(
                                   ctx).sample
 
             eps_edit = unet_fwd_inject(data["ctx_src"])
-            eps_dest = jax.lax.stop_gradient(unet_fwd_plain(data["ctx_dst"]))
-            mse = jnp.mean((eps_edit - eps_dest) ** 2)
+            # supervision target (reference compute_z.py:2578-2605):
+            # unedited-model forwards, stop-gradient
+            pred_src = jax.lax.stop_gradient(unet_fwd_plain(data["ctx_src"]))
+            pred_unc = jax.lax.stop_gradient(unet_fwd_plain(data["ctx_unc"]))
+            if sld:
+                pred_safe = jax.lax.stop_gradient(
+                    unet_fwd_plain(data["ctx_safe"]))
+                scale = jnp.minimum(
+                    jnp.abs(pred_src - pred_safe) * sld_gs, 1.0)
+                safety_scale = jnp.where(pred_src - pred_safe >= sld_thr,
+                                         jnp.zeros_like(scale), scale)
+                supervision = pred_src - (pred_safe - pred_unc) * safety_scale
+            else:
+                mu = float(esd_mu)
+                supervision = pred_unc - mu * (pred_src - pred_unc)
+            mse = jnp.mean((eps_edit - supervision) ** 2)
             reg = sum(
                 hp.v_weight_decay * jnp.sqrt(jnp.sum(d**2) + 1e-12)
                 / (data["z0n"][name] ** 2)
                 for name, (d,) in deltas.items()
             )
-            return mse + reg
+            # reference: loss = mse + weight_decay / len(layer_names)
+            # (compute_z.py:2618)
+            return mse + reg / len(kv_names)
 
         def step(carry, key):
             deltas, opt_state = carry
@@ -369,7 +416,7 @@ def apply_emcid_to_cross_attn(
         cov = np.asarray(stat.mom2.moment(), np.float32)
 
     zs_dict: Dict[str, List[np.ndarray]] = {n: [] for n in kv_names}
-    for request in requests:
+    for idx, request in enumerate(requests):
         cached = None
         cache_full = (Path(f"{cache_name}source_{request['source']}.npz")
                       if cache_name else None)
@@ -382,7 +429,6 @@ def apply_emcid_to_cross_attn(
         if cached is None:
             if latents_mean is None:
                 raise ValueError("latents required to compute x-kv z targets")
-            idx = list(requests).index(request)
             cached = compute_z_unet_x_kv(
                 components, request, hparams,
                 np.asarray(latents_mean)[idx], np.asarray(latents_logvar)[idx],

@@ -178,7 +178,12 @@ def edit_model_uce(
         mat2 = mat2 + preserve_scale * mom2_lamb2 * C
         for n, w in weights.items():
             mat1[n] = mat1[n] + preserve_scale * mom2_lamb2 * w @ C
-    elif retain_texts:
+    else:
+        if retain_texts is None:
+            # the reference ALWAYS preserves the empty prompt when no
+            # retain texts are given (uce_train.py:275 ret_texts=[''];
+            # the preserve loop at :392 runs unconditionally)
+            retain_texts = [""]
         for text in retain_texts:
             enc_rows = encode_prompts(components, [text])[0].astype(jnp.float32)
             mat2 = mat2 + preserve_scale * enc_rows.T @ enc_rows
@@ -186,15 +191,8 @@ def edit_model_uce(
                 v = enc_rows @ w.T
                 mat1[n] = mat1[n] + preserve_scale * v.T @ enc_rows
 
-    # one factorization serves every projection: W_new^T = solve(mat2^T, mat1^T)
-    @jax.jit
-    def solve_all(mat2, mat1_stack):
-        # mat2 is symmetric positive definite by construction
-        L = jax.scipy.linalg.cholesky(mat2, lower=True)
-        solve_one = lambda b: jax.scipy.linalg.cho_solve((L, True), b)
-        return jax.vmap(solve_one)(jnp.swapaxes(mat1_stack, -1, -2))
-
     # group projections by out-dim so stacks are rectangular
+    # (one factorization serves every projection: _uce_solve_all)
     new_params = params
     by_dim: Dict[int, List[str]] = {}
     for n in proj_names:
@@ -251,18 +249,20 @@ def edit_text_encoder_uce(
             v = k_new @ w.T
             mat1 = mat1 + erase_scale * v.T @ c
             mat2 = mat2 + erase_scale * c.T @ c
-        if retain_texts:
-            for text in retain_texts:
-                enc = tok([text], padding="max_length", truncation=True,
-                          max_length=tok.model_max_length)
-                out = model.apply(
-                    {"params": params}, jnp.asarray(enc["input_ids"]),
-                    capture=("fc2_in",), stop_at_layer=layer,
-                )
-                c = out.taps["fc2_in"][layer][0].astype(jnp.float32)
-                v = c @ w.T
-                mat1 = mat1 + preserve_scale * v.T @ c
-                mat2 = mat2 + preserve_scale * c.T @ c
+        # reference uce_train.py:61 defaults ret_texts=[''] and its
+        # preserve loop (:177) runs unconditionally — the empty prompt is
+        # ALWAYS preserved when no retain texts are given
+        for text in (retain_texts if retain_texts else [""]):
+            enc = tok([text], padding="max_length", truncation=True,
+                      max_length=tok.model_max_length)
+            out = model.apply(
+                {"params": params}, jnp.asarray(enc["input_ids"]),
+                capture=("fc2_in",), stop_at_layer=layer,
+            )
+            c = out.taps["fc2_in"][layer][0].astype(jnp.float32)
+            v = c @ w.T
+            mat1 = mat1 + preserve_scale * v.T @ c
+            mat2 = mat2 + preserve_scale * c.T @ c
         w_new = jnp.linalg.solve(mat2.T, mat1.T).T
         new_params = set_weight(new_params, mod_name, w_new)
     return components.replace_text_params(new_params)

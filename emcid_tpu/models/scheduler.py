@@ -96,7 +96,8 @@ def ddim_step(schedule: Schedule, latents: jnp.ndarray, eps: jnp.ndarray,
     """One deterministic DDIM update x_t → x_{t_prev} (eta=0)."""
     acp = jnp.asarray(schedule.alphas_cumprod)
     a_t = acp[t]
-    a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
+    # set_alpha_to_one=False (SD scheduler config): final alpha = acp[0]
+    a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], acp[0])
     if schedule.prediction_type == "epsilon":
         x0 = (latents - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
         eps_pred = eps
@@ -144,17 +145,33 @@ def scan_sampler(sampler: str, schedule: Schedule, unet_eps, latents,
     compiler-friendly form of the reference's full-length CFG loop,
     compute_z.py:384-418)."""
     ts, ts_prev = jnp.asarray(ts), jnp.asarray(ts_prev)
+    ts_eval = ts
+    if sampler == "pndm" and ts.shape[0] > 1:
+        # diffusers skip-prk PNDM duplicates the SECOND timestep
+        # (set_timesteps: [..., t[-2], t[-1]] reversed) and its step 1
+        # re-runs the FIRST transition from the saved sample with the
+        # averaged eps — so eval-t and transfer-t DIFFER at step 1:
+        #   evals:      t0, t1, t1, t2, ...   (N+1 UNet calls)
+        #   transfers: (t0→t1), (t0→t1), (t1→t2), ...
+        ts_eval = jnp.concatenate([ts[:1], ts[1:2], ts[1:]])
+        ts = jnp.concatenate([ts[:1], ts[:1], ts[1:]])
+        ts_prev = jnp.concatenate([ts_prev[:1], ts_prev[:1], ts_prev[1:]])
+        if n_head is not None:
+            # eval j>=1 belongs to original step j-1
+            n_head = int(n_head) + 1
     n_steps = ts.shape[0]
     if unet_eps_tail is None or n_head is None or n_head >= n_steps:
-        segments = [(unet_eps, ts, ts_prev)]
+        segments = [(unet_eps, ts_eval, ts, ts_prev)]
     else:
         n_head = max(int(n_head), 1)
-        segments = [(unet_eps, ts[:n_head], ts_prev[:n_head]),
-                    (unet_eps_tail, ts[n_head:], ts_prev[n_head:])]
+        segments = [
+            (unet_eps, ts_eval[:n_head], ts[:n_head], ts_prev[:n_head]),
+            (unet_eps_tail, ts_eval[n_head:], ts[n_head:], ts_prev[n_head:]),
+        ]
 
     if sampler == "ddim":
         lat = latents
-        for eps_fn, seg_ts, seg_prev in segments:
+        for eps_fn, _seg_eval, seg_ts, seg_prev in segments:
 
             def body(lat, tp, eps_fn=eps_fn):
                 t, t_prev = tp
@@ -171,29 +188,33 @@ def scan_sampler(sampler: str, schedule: Schedule, unet_eps, latents,
         raise ValueError(f"unknown sampler {sampler!r}")
 
     carry = (latents, init)
-    for eps_fn, seg_ts, seg_prev in segments:
+    for eps_fn, seg_eval, seg_ts, seg_prev in segments:
 
         def body(carry, tp, eps_fn=eps_fn):
             lat, st = carry
-            t, t_prev = tp
-            st, lat = step(schedule, st, lat, eps_fn(lat, t), t, t_prev)
+            t_eval, t, t_prev = tp
+            st, lat = step(schedule, st, lat, eps_fn(lat, t_eval), t,
+                           t_prev)
             return (lat, st), None
 
-        carry, _ = jax.lax.scan(body, carry, (seg_ts, seg_prev))
+        carry, _ = jax.lax.scan(body, carry, (seg_eval, seg_ts, seg_prev))
     return carry[0]
 
 
 class PNDMState(NamedTuple):
-    """Rolling eps history for the PNDM linear multistep region."""
+    """Rolling eps history for the PNDM linear multistep region, plus the
+    pre-first-transition sample for the Heun warm-up re-do."""
 
     ets: jnp.ndarray  # (4, *latent_shape) ring buffer of eps predictions
     counter: jnp.ndarray  # int32 number of steps taken
+    cur_sample: jnp.ndarray  # latent saved at step 0, consumed at step 1
 
 
 def pndm_init(latent_shape, dtype=jnp.float32) -> PNDMState:
     return PNDMState(
         ets=jnp.zeros((4,) + tuple(latent_shape), dtype=dtype),
         counter=jnp.zeros((), dtype=jnp.int32),
+        cur_sample=jnp.zeros(tuple(latent_shape), dtype=dtype),
     )
 
 
@@ -260,14 +281,26 @@ def dpmpp_step(schedule: Schedule, state: DPMState, latents: jnp.ndarray,
 def pndm_step(schedule: Schedule, state: PNDMState, latents: jnp.ndarray,
               eps: jnp.ndarray, t: jnp.ndarray, t_prev: jnp.ndarray
               ) -> Tuple[PNDMState, jnp.ndarray]:
-    """PNDM (skip-prk variant, as the SD pipeline configures it): plain DDIM
-    for the first step, then 2nd/3rd/4th-order Adams–Bashforth on the eps
-    history.  Branchless lax.switch on the warm-up counter so the whole
-    sampler scans."""
-    ets = jnp.concatenate([state.ets[1:], eps[None]], axis=0)
+    """PNDM skip-prk step, exactly diffusers' ``step_plms`` counter
+    machinery: step 0 is plain DDIM (sample saved as cur_sample, eps
+    recorded); step 1 re-runs the FIRST transition from cur_sample with
+    the two eps averaged (a Heun corrector — the caller's timestep arrays
+    duplicate the second timestep, scan_sampler builds them); steps 2+
+    are 2nd/3rd/4th-order Adams–Bashforth on the eps history (the step-1
+    eps is NOT recorded, matching ``if self.counter != 1: ets.append``).
+    Branchless lax.switch on the warm-up counter so the whole sampler
+    scans."""
+    c = state.counter
+    ets_next = jnp.concatenate([state.ets[1:], eps[None]], axis=0)
+    # diffusers: the Heun step's eps never enters the history
+    ets = jnp.where(c == 1, state.ets, ets_next)
 
     def order1(_):
         return eps
+
+    def heun(_):
+        # (eps(x1, t1) + eps(x0, t0)) / 2, applied from the SAVED x0
+        return (eps + state.ets[3]) / 2
 
     def order2(_):
         return (3 * ets[3] - ets[2]) / 2
@@ -278,13 +311,17 @@ def pndm_step(schedule: Schedule, state: PNDMState, latents: jnp.ndarray,
     def order4(_):
         return (55 * ets[3] - 59 * ets[2] + 37 * ets[1] - 9 * ets[0]) / 24
 
-    order = jnp.minimum(state.counter, 3)
-    eps_avg = jax.lax.switch(order, [order1, order2, order3, order4], None)
+    eps_avg = jax.lax.switch(jnp.minimum(c, 4),
+                             [order1, heun, order2, order3, order4], None)
+    sample = jnp.where(c == 1, state.cur_sample, latents)
+    cur_sample = jnp.where(c == 0, latents, state.cur_sample)
 
     acp = jnp.asarray(schedule.alphas_cumprod)
     a_t = acp[t]
-    a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
+    # set_alpha_to_one=False (SD scheduler config): the final transition
+    # targets alphas_cumprod[0], not 1.0
+    a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], acp[0])
     # diffusers PNDM transfer formula (equivalent to DDIM with eps_avg)
-    x0 = (latents - jnp.sqrt(1.0 - a_t) * eps_avg) / jnp.sqrt(a_t)
+    x0 = (sample - jnp.sqrt(1.0 - a_t) * eps_avg) / jnp.sqrt(a_t)
     prev = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps_avg
-    return PNDMState(ets=ets, counter=state.counter + 1), prev
+    return PNDMState(ets=ets, counter=c + 1, cur_sample=cur_sample), prev

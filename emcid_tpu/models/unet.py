@@ -495,8 +495,12 @@ class UNet2DCondition(nn.Module):
 
 
 def cross_attn_kv_layer_names(config: UNetConfig) -> list:
-    """All cross-attn to_k/to_v module names in HF order (the 32 editable
-    projections for SD1.x — reference layer_stats.py:470-495)."""
+    """All cross-attn to_k/to_v module names, enumerated in the REFERENCE's
+    block order down → up → mid (layer_stats.py:470-486
+    get_all_cross_attn_kv_layer_names block_types=['down_blocks',
+    'up_blocks', 'mid_block']) so integer ``layers_to_edit`` indices select
+    the same projections as the reference; all consumers key caches by the
+    NAME, so only index semantics depend on this order."""
     names = []
     n_levels = len(config.block_out_channels)
 
@@ -514,11 +518,11 @@ def cross_attn_kv_layer_names(config: UNetConfig) -> list:
             names += block_names(f"down_blocks.{lvl}", lvl,
                                  config.layers_per_block,
                                  config.transformer_layers_per_block[lvl])
-    names += block_names("mid_block", n_levels - 1, 1,
-                         config.transformer_layers_per_block[-1])
     for lvl, bt in enumerate(config.up_block_types):
         if bt == "CrossAttnUpBlock2D":
             names += block_names(f"up_blocks.{lvl}", n_levels - 1 - lvl,
                                  config.layers_per_block + 1,
                                  config.transformer_layers_per_block[n_levels - 1 - lvl])
+    names += block_names("mid_block", n_levels - 1, 1,
+                         config.transformer_layers_per_block[-1])
     return names

@@ -76,7 +76,9 @@ def test_layer_stats_cross_attn(comps, tmp_path):
 
 
 def test_compute_z_unet_x_kv(comps, rng):
-    hp = _hp()
+    # the reference x-kv Stage-1 supports ONLY esd / SLD supervision
+    # (compute_z.py:2583-2605)
+    hp = _hp(objective="esd", esd_mu=1.0)
     mean = rng.randn(1, 2, 8, 8, 4).astype(np.float32) * 0.18
     logvar = np.full(mean.shape, -6.0, np.float32)
     out = compute_z_unet_x_kv(comps, REQS[0], hp, mean, logvar, verbose=False)
@@ -86,6 +88,37 @@ def test_compute_z_unet_x_kv(comps, rng):
         w = get_unet_weight(comps.unet_params, n)
         assert out[n].shape == (1, w.shape[0])
         assert np.isfinite(out[n]).all()
+
+
+def test_compute_z_unet_x_kv_sld(comps, rng):
+    """SLD supervision branch: needs request safe_words; produces targets
+    different from esd (reference compute_z.py:2583-2601)."""
+    mean = rng.randn(1, 2, 8, 8, 4).astype(np.float32) * 0.18
+    logvar = np.full(mean.shape, -6.0, np.float32)
+    req = dict(REQS[0], safe_words="a safe photo of a dog")
+    import jax
+
+    sld = compute_z_unet_x_kv(
+        comps, req, _hp(sld_supervision=True, sld_type="strong"),
+        mean, logvar, rng=jax.random.PRNGKey(0), verbose=False)
+    esd = compute_z_unet_x_kv(
+        comps, req, _hp(objective="esd", esd_mu=1.0),
+        mean, logvar, rng=jax.random.PRNGKey(0), verbose=False)
+    names = cross_attn_kv_layer_names(comps.unet.config)
+    assert set(sld) == set(names)
+    assert any(not np.allclose(sld[n], esd[n]) for n in names)
+    for n in names:
+        assert np.isfinite(sld[n]).all()
+
+
+def test_compute_z_unet_x_kv_rejects_unsupported_objective(comps, rng):
+    mean = rng.randn(1, 2, 8, 8, 4).astype(np.float32) * 0.18
+    logvar = np.full(mean.shape, -6.0, np.float32)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="supervision"):
+        compute_z_unet_x_kv(comps, REQS[0], _hp(), mean, logvar,
+                            verbose=False)
 
 
 def test_execute_cross_attn_solves(comps, rng):
@@ -119,7 +152,7 @@ def test_execute_cross_attn_solves(comps, rng):
 
 
 def test_apply_cross_attn_with_cache(comps, rng, tmp_path):
-    hp = _hp()
+    hp = _hp(objective="esd", esd_mu=1.0)
     mean = rng.randn(1, 1, 2, 8, 8, 4).astype(np.float32) * 0.18
     logvar = np.full(mean.shape, -6.0, np.float32)
     captions = [f"caption {i} of a cat" for i in range(8)]

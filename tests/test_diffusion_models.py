@@ -50,14 +50,18 @@ def test_add_noise_closed_form(rng):
 
 def test_ddim_oracle_reconstructs_x0(rng):
     """With the exact eps used for noising, a single DDIM step to t_prev=-1
-    must return x0 exactly."""
+    must land at sqrt(acp[0])*x0 + sqrt(1-acp[0])*eps — the SD scheduler
+    config runs set_alpha_to_one=False, so the final transition targets
+    alphas_cumprod[0], not 1.0 (x0 itself is recovered analytically)."""
     s = sd_schedule()
     x0 = jnp.asarray(rng.randn(1, 4, 4, 2).astype(np.float32))
     eps = jnp.asarray(rng.randn(1, 4, 4, 2).astype(np.float32))
     t = jnp.asarray([700])
     xt = add_noise(s, x0, eps, t)
     x_rec = ddim_step(s, xt, eps, t[0], jnp.asarray(-1))
-    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x0), atol=1e-4)
+    a0 = float(np.asarray(s.alphas_cumprod)[0])
+    want = np.sqrt(a0) * np.asarray(x0) + np.sqrt(1 - a0) * np.asarray(eps)
+    np.testing.assert_allclose(np.asarray(x_rec), want, atol=1e-4)
 
 
 def test_ddim_timesteps_descending():
@@ -80,19 +84,23 @@ def test_ddpm_step_reduces_noise_level(rng):
 
 
 def test_pndm_matches_ddim_with_constant_eps(rng):
-    """If eps is constant across steps, the multistep averages equal eps, so
-    PNDM must track the DDIM trajectory exactly."""
+    """If eps is constant across steps, the AB averages AND the Heun
+    warm-up average equal eps, so the full skip-prk PNDM protocol (incl.
+    the duplicated second timestep whose re-done first transition lands on
+    the identical point) must track the DDIM trajectory exactly."""
+    from emcid_tpu.models.scheduler import scan_sampler
+
     s = sd_schedule()
     eps = jnp.asarray(rng.randn(1, 4, 4, 2).astype(np.float32))
     ts = ddim_timesteps(s, 10)
-    lat_ddim = jnp.asarray(rng.randn(1, 4, 4, 2).astype(np.float32))
-    lat_pndm = lat_ddim
-    state = pndm_init(lat_ddim.shape)
+    ts_prev = np.concatenate([ts[1:], [-1]]).astype(np.int32)
+    lat0 = jnp.asarray(rng.randn(1, 4, 4, 2).astype(np.float32))
+    lat_ddim = lat0
     for i, t in enumerate(ts):
         t_prev = ts[i + 1] if i + 1 < len(ts) else -1
-        lat_ddim = ddim_step(s, lat_ddim, eps, jnp.asarray(t), jnp.asarray(t_prev))
-        state, lat_pndm = pndm_step(s, state, lat_pndm, eps, jnp.asarray(t),
-                                    jnp.asarray(t_prev))
+        lat_ddim = ddim_step(s, lat_ddim, eps, jnp.asarray(t),
+                             jnp.asarray(t_prev))
+    lat_pndm = scan_sampler("pndm", s, lambda lat, t: eps, lat0, ts, ts_prev)
     np.testing.assert_allclose(np.asarray(lat_pndm), np.asarray(lat_ddim),
                                rtol=1e-4, atol=1e-5)
 

@@ -19,7 +19,8 @@ def test_xkv_sharded_equals_unsharded():
 
     comps = build_tiny_pipeline(seed=0, words=["cat", "dog"])
     hp = EMCIDHyperParams.from_dict(
-        dict(HP, v_num_grad_steps=3, cal_text_repr_loss=False))
+        dict(HP, v_num_grad_steps=3, cal_text_repr_loss=False,
+             objective="esd", esd_mu=1.0))
     req = {"prompts": ["a photo of {}", "{}"], "source": "cat",
            "dest": "dog", "seed_train": 0}
     h = comps.unet.config.sample_size
