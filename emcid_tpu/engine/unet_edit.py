@@ -301,6 +301,69 @@ def capture_module_inputs(
 # ---------------------------------------------------------------------------
 
 
+def capture_block_outputs(
+    components: SDComponents,
+    ctx: jnp.ndarray,
+    module_name: str,
+    kind: str,
+    latents_mean: np.ndarray,
+    latents_logvar: np.ndarray,
+    mask_mod: jnp.ndarray,
+    num_t_blocks: int,
+    rng: jax.Array,
+) -> jnp.ndarray:
+    """Per-time-block region-mean module OUTPUT ``(num_t_blocks, C_out)``.
+
+    The reference captures ``original_output[ti]`` lazily from the first
+    batch element whose random timestep lands in block ``ti``
+    (compute_z.py:1855-1885) — an rng-order-dependent draw.  Here each
+    block gets one uniformly-drawn timestep inside the block and the
+    region-mean is averaged over the image batch: the same quantity with
+    the same t-distribution, deterministically.
+    """
+    mean = jnp.asarray(latents_mean[0])
+    logvar = jnp.asarray(latents_logvar[0])
+    n_ts = components.schedule.num_train_timesteps
+    block_size = n_ts // num_t_blocks
+    ipath = _intermediate_path(module_name, kind)
+    leaf = _SOW_OUT_LEAF[kind]
+
+    @jax.jit
+    def sweep(unet_params, mean, logvar, ctx, t0s, keys):
+        def one(_, tk):
+            t0, key = tk
+            k1, k2, k3 = jax.random.split(key, 3)
+            t = t0 + jax.random.randint(k3, (), 0, block_size)
+            latents = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                k1, mean.shape, mean.dtype)
+            noise = jax.random.normal(k2, latents.shape, latents.dtype)
+            ts = jnp.full((latents.shape[0],), t, jnp.int32)
+            noisy = add_noise(components.schedule, latents, noise, ts)
+            _, state = components.unet.apply(
+                {"params": unet_params}, noisy, ts, ctx,
+                mutable=["intermediates"],
+            )
+            node = state["intermediates"]
+            for pp in ipath:
+                node = node[pp]
+            out = node[leaf][0].astype(jnp.float32)
+            if out.ndim == 4:  # conv NHWC → (B, H*W, C)
+                out = out.reshape(out.shape[0], -1, out.shape[-1])
+            # region-mean per image, then mean over images
+            num = jnp.sum(out * mask_mod, axis=1)  # (B, C)
+            den = jnp.maximum(jnp.sum(mask_mod, axis=1), 1.0)
+            return None, jnp.mean(num / den, axis=0)
+
+        _, orig = jax.lax.scan(one, None, (t0s, keys))
+        return orig  # (num_t_blocks, C_out)
+
+    t0s = jnp.asarray(
+        [i * block_size for i in range(num_t_blocks)], jnp.int32)
+    keys = jnp.stack([jax.random.fold_in(rng, i)
+                      for i in range(num_t_blocks)])
+    return sweep(components.unet_params, mean, logvar, ctx, t0s, keys)
+
+
 def compute_delta_unet(
     components: SDComponents,
     request: Dict,
@@ -313,7 +376,22 @@ def compute_delta_unet(
 ) -> np.ndarray:
     """Optimize per-timestep-block channel deltas (num_t_blocks, C_out) on
     the final layer's output inside the region
-    (reference compute_delta_unet, compute_z.py:1778-1988).
+    (reference compute_delta_unet, compute_z.py:1778-1988):
+
+    * latents are drawn from the image posterior ONCE (reference :1916
+      encodes and samples before the step loop); noise/timesteps are fresh
+      per step;
+    * every batch element gets its OWN time-block index
+      (``bisect(time_step_blocks, t)`` == ``t // block_size``, :1941);
+    * objectives: esd (dest = empty prompts, target = dest − μ·(src −
+      dest)); use_sampled_noise (target = true noise); default ablate
+      (target = unedited model on ``request["dest_prompts"]``, :1955-1960);
+    * MSE over the FULL eps map (the region enters only via the masked
+      injection, :1952);
+    * weight decay ``wd·|delta[idx]| / |orig[idx]|²`` against the
+      region-mean original output, and a per-step L2 clamp at
+      ``clamp·|orig[idx]|`` — including the reference's divisor quirk
+      (:1975 scales by ``max_norm / delta.norm()``, the FULL delta norm).
 
     region_mask: (num_imgs, h_lat, w_lat) at latent resolution; resized to
     the module's spatial resolution.
@@ -326,48 +404,74 @@ def compute_delta_unet(
         if "prompts" in request else request["source_prompts"]
     ctx = encode_prompts(components, prompts)
     P = ctx.shape[0]
+    if hp.objective == "esd":
+        dest_prompts = [""] * P
+    elif "dest_prompts" in request:
+        dest_prompts = request["dest_prompts"]
+    elif "prompts" in request and "dest" in request:
+        dest_prompts = [p.format(request["dest"]) for p in request["prompts"]]
+    else:
+        raise ValueError(
+            "non-esd UNet region edits need request['dest_prompts'] "
+            "(reference compute_z.py:1806)")
+    ctx_dst = jnp.asarray(encode_prompts(components, dest_prompts))
     mean = jnp.asarray(latents_mean[0])
     logvar = jnp.asarray(latents_logvar[0])
     n_ts = components.schedule.num_train_timesteps
     block_size = n_ts // hp.num_t_blocks
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    rng, k_lat, k_orig = jax.random.split(rng, 3)
 
-    # module spatial size: run once and look at the captured output shape
-    sample = capture_module_inputs(
-        components, request, final_name, kind, [0], latents_mean,
-        latents_logvar)
-    N = sample.shape[1]
+    # module spatial size from the traced shape (no compile needed)
+    unet = components.unet
+    ipath = _intermediate_path(final_name, kind)
+    shape_tree = jax.eval_shape(
+        lambda: unet.apply(
+            {"params": components.unet_params}, mean,
+            jnp.zeros((P,), jnp.int32), ctx, mutable=["intermediates"])[1])
+    node = shape_tree["intermediates"]
+    for pp in ipath:
+        node = node[pp]
+    out_shape = node[_SOW_OUT_LEAF[kind]][0].shape
+    C_out = out_shape[-1]
+    N = (out_shape[1] * out_shape[2] if len(out_shape) == 4
+         else out_shape[1])
     side = int(np.sqrt(N))
-    w_mat, ksz, _ = _module_weight(components.unet_params, final_name, kind)
-    C_out = w_mat.shape[0] // (ksz * ksz)
     mask = jax.image.resize(
         jnp.asarray(region_mask, jnp.float32),
         (region_mask.shape[0], side, side), "nearest",
     ).reshape(region_mask.shape[0], N, 1)
 
-    unet = components.unet
-    opt = optax.adam(hp.v_lr)
+    orig = capture_block_outputs(
+        components, ctx, final_name, kind, latents_mean, latents_logvar,
+        mask, hp.num_t_blocks, k_orig)  # (num_t_blocks, C_out)
 
-    empty_ctx = (encode_prompts(components, [""] * P)
-                 if hp.objective == "esd" else None)
+    # ONE posterior draw (reference encodes + samples before the loop)
+    latents0 = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+        k_lat, mean.shape, mean.dtype)
+
+    opt = optax.adam(hp.v_lr)
+    conv_kind = kind == "res-last-conv"
+    use_samp = bool(getattr(hp, "use_sampled_noise", False))
+    mu = (float(hp.esd_mu) if getattr(hp, "esd_mu", None)
+          not in (None, "None") else 1.0)
 
     # params/activations enter as jit ARGUMENTS (a closure-captured UNet
     # is baked into the program as 3.4 GB of constants at SD shapes) and
-    # the step loop is scanned + host-chunked (the old per-step
-    # float(loss) paid a ~0.5 s host round-trip per step on the tunnel)
+    # the step loop is scanned + host-chunked
     from functools import partial
 
     @partial(jax.jit, static_argnames=())
     def run_chunk(pu, data, carry, keys):
-        def loss_fn(delta, key):
-            k1, k2, k3, k4 = jax.random.split(key, 4)
-            latents = data["mean"] + jnp.exp(
-                0.5 * data["logvar"]) * jax.random.normal(
-                k1, data["mean"].shape, data["mean"].dtype)
-            noise = jax.random.normal(k2, latents.shape, latents.dtype)
-            ts = jax.random.randint(k3, (P,), 0, n_ts)
-            block = jnp.clip(ts[0] // block_size, 0, hp.num_t_blocks - 1)
-            noisy = add_noise(components.schedule, latents, noise, ts)
-            inj = data["mask"] * delta[block][None, None, :]  # (B, N, C)
+        def loss_fn(delta, idxs, noise, ts):
+            noisy = add_noise(components.schedule, data["latents"], noise,
+                              ts)
+            d_sel = delta[idxs]  # (P, C_out)
+            if conv_kind:
+                inj = (data["mask"].reshape(P, side, side, 1)
+                       * d_sel[:, None, None, :])  # NHWC
+            else:
+                inj = data["mask"] * d_sel[:, None, :]  # (P, N, C)
 
             @jax.checkpoint
             def fwd_inject(ctx):
@@ -382,37 +486,46 @@ def compute_delta_unet(
 
             eps_edit = fwd_inject(data["ctx"])
             if hp.objective == "esd":
-                eps_dst = jax.lax.stop_gradient(fwd_plain(data["empty_ctx"]))
+                eps_dst = jax.lax.stop_gradient(fwd_plain(data["ctx_dst"]))
                 eps_src = jax.lax.stop_gradient(fwd_plain(data["ctx"]))
-                mu = (float(hp.esd_mu)
-                      if hp.esd_mu not in (None, "None") else 1.0)
                 target = eps_dst - mu * (eps_src - eps_dst)
-            else:  # ablate-source: push masked region toward pure noise
+            elif use_samp:
                 target = noise
-            mse = jnp.sum(((eps_edit - target) * data["lat_mask"]) ** 2
-                          ) / jnp.maximum(jnp.sum(data["lat_mask"]), 1.0)
-            reg = hp.v_weight_decay * jnp.sqrt(jnp.sum(delta**2) + 1e-12)
+            else:
+                target = jax.lax.stop_gradient(fwd_plain(data["ctx_dst"]))
+            mse = jnp.mean((eps_edit - target) ** 2)
+            reg = (hp.v_weight_decay
+                   * jnp.sqrt(jnp.sum(d_sel**2) + 1e-12)
+                   / jnp.maximum(jnp.sum(data["orig"][idxs] ** 2), 1e-12))
             return mse + reg
 
         def step(carry, key):
             delta, opt_state = carry
-            loss, g = jax.value_and_grad(loss_fn)(delta, key)
+            k2, k3 = jax.random.split(key)
+            noise = jax.random.normal(k2, data["latents"].shape,
+                                      data["latents"].dtype)
+            ts = jax.random.randint(k3, (P,), 0, n_ts)
+            idxs = jnp.clip(ts // block_size, 0, hp.num_t_blocks - 1)
+            loss, g = jax.value_and_grad(loss_fn)(delta, idxs, noise, ts)
             updates, opt_state = opt.update(g, opt_state, delta)
-            return (optax.apply_updates(delta, updates), opt_state), loss
+            delta = optax.apply_updates(delta, updates)
+            # per-step L2 clamp on the touched rows (reference :1973-1977,
+            # incl. the full-delta-norm divisor quirk)
+            sel = delta[idxs]
+            sel_n = jnp.sqrt(jnp.sum(sel**2) + 1e-12)
+            max_n = hp.clamp_norm_factor * jnp.sqrt(
+                jnp.sum(data["orig"][idxs] ** 2) + 1e-12)
+            factor = max_n / jnp.sqrt(jnp.sum(delta**2) + 1e-12)
+            delta = jnp.where(sel_n > max_n,
+                              delta.at[idxs].set(sel * factor), delta)
+            return (delta, opt_state), loss
 
         return jax.lax.scan(step, carry, keys)
 
-    lat_mask = jax.image.resize(
-        jnp.asarray(region_mask, jnp.float32),
-        (region_mask.shape[0],) + mean.shape[1:3], "nearest",
-    )[..., None]
-    data = dict(mean=mean, logvar=logvar, ctx=ctx, mask=mask,
-                lat_mask=lat_mask)
-    if empty_ctx is not None:
-        data["empty_ctx"] = jnp.asarray(empty_ctx)
+    data = dict(latents=latents0, ctx=ctx, ctx_dst=ctx_dst, mask=mask,
+                orig=orig)
 
     delta = jnp.zeros((hp.num_t_blocks, C_out), jnp.float32)
-    rng = rng if rng is not None else jax.random.PRNGKey(0)
     all_keys = jax.random.split(rng, hp.v_num_grad_steps)
     import os as _os
 
@@ -455,6 +568,127 @@ def _inject_path(name: str, kind: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _region_io(
+    components: SDComponents,
+    request: Dict,
+    hparams,
+    name: str,
+    kind: str,
+    lm: np.ndarray,
+    lv: np.ndarray,
+    region_mask: np.ndarray,
+    rng: jax.Array,
+    delta: Optional[np.ndarray] = None,
+    num_step_per_block: int = 4,
+):
+    """Region keys / pre-fold outputs for ONE request at ONE module
+    (reference get_module_input_output_at_regions, compute_ks.py:157-327):
+
+    * latents drawn from the posterior ONCE; ``num_step_per_block``
+      strided timesteps per time block, fresh noise each (:183-256);
+    * module INPUTS averaged over the block's draws, selected at the
+      ksz-DILATED region points → keys ``(Npts, C_in)`` in (block, img,
+      point) column order;
+    * ``orig_pre_fold = keys @ W(out·k², in)^T + bias_rep`` (:262-273);
+    * with ``delta``: masked per-block output delta, pre-folded
+      (unfold/k² + 180° window rotation) and selected at the same points
+      → ``desired = orig + delta_pf`` (:275-318).
+    """
+    hp = hparams
+    prompts = [p.format(request["source"]) for p in request["prompts"]] \
+        if "prompts" in request else request["source_prompts"]
+    ctx = encode_prompts(components, prompts)
+    mean = jnp.asarray(lm[0])
+    logvar = jnp.asarray(lv[0])
+    num_imgs = mean.shape[0]
+    n_ts = components.schedule.num_train_timesteps
+    n_blocks = hp.num_t_blocks
+    block_size = n_ts // n_blocks
+    stride = max(block_size // num_step_per_block, 1)
+    ts_list = [list(range(b * block_size, (b + 1) * block_size, stride))
+               [:num_step_per_block] for b in range(n_blocks)]
+
+    rng, k_lat = jax.random.split(rng)
+    latents0 = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+        k_lat, mean.shape, mean.dtype)
+
+    ipath = _intermediate_path(name, kind)
+    leaf = _SOW_LEAF[kind]
+    unet = components.unet
+
+    @jax.jit
+    def sweep(unet_params, latents0, ctx, ts_arr, keys):
+        def one(_, tk):
+            t, key = tk
+            noise = jax.random.normal(key, latents0.shape, latents0.dtype)
+            ts = jnp.full((num_imgs,), t, jnp.int32)
+            noisy = add_noise(components.schedule, latents0, noise, ts)
+            _, state = unet.apply({"params": unet_params}, noisy, ts, ctx,
+                                  mutable=["intermediates"])
+            node = state["intermediates"]
+            for pp in ipath:
+                node = node[pp]
+            x = node[leaf][0].astype(jnp.float32)
+            if x.ndim == 4:
+                x = x.reshape(x.shape[0], -1, x.shape[-1])
+            return None, x
+
+        _, xs = jax.lax.scan(one, None, (ts_arr, keys))
+        # (n_blocks, per_block, num_imgs, N, C_in) → block-mean
+        xs = xs.reshape((n_blocks, -1) + xs.shape[1:])
+        return xs.mean(axis=1)
+
+    flat_ts = jnp.asarray([t for blk in ts_list for t in blk], jnp.int32)
+    keys_rng = jnp.stack([jax.random.fold_in(rng, i)
+                          for i in range(flat_ts.shape[0])])
+    inputs_b = np.asarray(sweep(components.unet_params, latents0, ctx,
+                                flat_ts, keys_rng))
+    N = inputs_b.shape[2]
+    side = int(np.sqrt(N))
+
+    w_mat, ksz, bias = _module_weight(components.unet_params, name, kind)
+    w_mat = np.asarray(w_mat, np.float32)  # (out*k², in)
+    C_in = w_mat.shape[1]
+    mask = np.asarray(jax.image.resize(
+        jnp.asarray(region_mask, jnp.float32),
+        (region_mask.shape[0], side, side), "nearest"))
+    in_mask = mask
+    if ksz > 1:
+        in_mask = np.asarray(dilate(jnp.asarray(mask), ksz))
+    sel = in_mask.reshape(num_imgs, N) > 0.5  # same points for every block
+
+    cols = []
+    for b in range(n_blocks):
+        for img in range(num_imgs):
+            cols.append(inputs_b[b, img][sel[img]])
+    l_inputs = np.concatenate(cols)  # (Npts, C_in)
+    if bias is not None:
+        bias_rep = np.repeat(np.asarray(bias, np.float32), ksz * ksz)
+    else:
+        bias_rep = 0.0
+    orig_pf = l_inputs @ w_mat.T + bias_rep  # (Npts, out*k²)
+
+    desired = None
+    if delta is not None:
+        delta = np.asarray(delta, np.float32)  # (n_blocks, C_out)
+        C_out = delta.shape[1]
+        out_delta = (mask.reshape(1, num_imgs, side, side, 1)
+                     * delta[:, None, None, None, :]
+                     ).reshape(n_blocks * num_imgs, side, side, C_out)
+        if ksz > 1:
+            pf = np.asarray(pre_fold_output_delta(
+                jnp.asarray(out_delta), ksz))
+        else:
+            pf = out_delta
+        pf = pf.reshape(n_blocks, num_imgs, N, -1)
+        pf_cols = []
+        for b in range(n_blocks):
+            for img in range(num_imgs):
+                pf_cols.append(pf[b, img][sel[img]])
+        desired = orig_pf + np.concatenate(pf_cols)
+    return l_inputs, orig_pf, desired
+
+
 def execute_emcid_unet(
     components: SDComponents,
     requests: Sequence[Dict],
@@ -464,74 +698,67 @@ def execute_emcid_unet(
     latents: Sequence[Tuple[np.ndarray, np.ndarray]],
     cov,
     mom2_weight=None,
-    num_steps_per_block: int = 2,
+    num_steps_per_block: int = 4,
+    rng: Optional[jax.Array] = None,
     verbose: bool = True,
 ) -> Tuple[Dict, SDComponents]:
     """Insert the optimized final-layer deltas by editing the spreading
-    sub-blocks (reference execute_emcid_unet, emcid_main.py:583-767).
+    sub-blocks (reference execute_emcid_unet, emcid_main.py:583-767):
+
+    * the DESIRED pre-fold targets are computed ONCE at the final layer on
+      the pristine model (delta pre-folded into the target, :680-685);
+    * each spreading layer (earliest first = reversed(weights), :688)
+      recomputes its keys AND its current pre-fold output on the
+      PROGRESSIVELY EDITED model, so ``sources = desired − cur`` lets
+      later layers compensate earlier edits' drift (:705-711);
+    * ``resid = sources / (L − idx)`` spreads the residual (:736);
+    * per-(block, img, region-point) columns — the time-block structure is
+      NOT collapsed.
 
     deltas_star[i]: (num_t_blocks, C_out) per request; latents[i]:
-    (mean, logvar) as (Simg, P, h, w, c); cov: (C_in, C_in) for the module
-    kind (shared across same-kind layers).
+    (mean, logvar) as (Simg, P, h, w, c); cov: (C_in, C_in) shared, or a
+    {layer_name: cov} dict for per-layer statistics (the reference loads
+    per-layer covs, :713-723).
     """
     hp = hparams
-    lam = float(mom2_weight if mom2_weight is not None else hp.mom2_update_weight)
+    lam = float(mom2_weight if mom2_weight is not None
+                else hp.mom2_update_weight)
     layers = retrieve_spreading_layers(hp)
     final_name, final_coords = layers[0]
-    kind = final_coords[2]
-    n_ts = components.schedule.num_train_timesteps
-    block_size = n_ts // hp.num_t_blocks
-    sample_ts = [
-        b * block_size + i * max(block_size // num_steps_per_block, 1)
-        for b in range(hp.num_t_blocks) for i in range(num_steps_per_block)
-    ]
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    # desired pre-fold targets at the final layer, pristine model
+    desired_cols = []
+    for r, request in enumerate(requests):
+        lm, lv = latents[r]
+        _, _, desired = _region_io(
+            components, request, hp, final_name, final_coords[2], lm, lv,
+            region_masks[r], jax.random.fold_in(rng, r),
+            delta=deltas_star[r], num_step_per_block=num_steps_per_block)
+        desired_cols.append(desired)
+    final_desired = np.concatenate(desired_cols).T.astype(np.float64)
 
     comps = components
     deltas_out: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
     n_layers = len(layers)
-    # earliest module first (reference iterates reversed(weights), :686)
+    # earliest module first (reference iterates reversed(weights), :688)
     for i, (name, coords) in enumerate(reversed(layers)):
-        K_cols, src_cols = [], []
+        K_cols, cur_cols = [], []
         for r, request in enumerate(requests):
             lm, lv = latents[r]
-            inputs = capture_module_inputs(
-                comps, request, name, coords[2], sample_ts, lm, lv,
-            )  # (B, N, C_in)
-            B, N, C_in = inputs.shape
-            side = int(np.sqrt(N))
-            mask = np.asarray(jax.image.resize(
-                jnp.asarray(region_masks[r], jnp.float32),
-                (region_masks[r].shape[0], side, side), "nearest",
-            ).reshape(-1, N))
-            w_mat, ksz, _ = _module_weight(comps.unet_params, name, coords[2])
-            in_mask = mask
-            if ksz > 1:
-                in_mask = np.asarray(dilate(
-                    jnp.asarray(mask.reshape(-1, side, side)), ksz
-                ).reshape(-1, N))
-            sel = in_mask.reshape(-1) > 0.5
-            flat_in = np.asarray(inputs).reshape(-1, C_in)[sel]  # (R_pts, C_in)
-            K_cols.append(flat_in)
-
-            # desired pre-fold target from the final-layer delta
-            # (per-time-block mean delta folded to pre-fold space)
-            d_mean = np.asarray(deltas_star[r]).mean(axis=0)  # (C_out,)
-            C_out = d_mean.shape[0]
-            out_delta = (mask.reshape(-1, side, side, 1)
-                         * d_mean[None, None, None, :])
-            if ksz > 1:
-                pf = np.asarray(pre_fold_output_delta(
-                    jnp.asarray(out_delta), ksz))
-            else:
-                pf = out_delta.reshape(-1, side, side, C_out)
-            pf = pf.reshape(-1, pf.shape[-1])[sel]
-            src_cols.append(pf)
-
+            keys_r, cur_r, _ = _region_io(
+                comps, request, hp, name, coords[2], lm, lv,
+                region_masks[r], jax.random.fold_in(rng, r),
+                num_step_per_block=num_steps_per_block)
+            K_cols.append(keys_r)
+            cur_cols.append(cur_r)
         K = np.concatenate(K_cols).T.astype(np.float64)  # (C_in, Npts)
-        sources = np.concatenate(src_cols).T.astype(np.float64)
-        # spread: 1/(n-i) of the target at each remaining layer (:740)
+        cur_pf = np.concatenate(cur_cols).T.astype(np.float64)
+        sources = final_desired - cur_pf
         resid = sources / (n_layers - i)
-        adj_k = solve_adj_k(np.asarray(cov, np.float64), K, lam, method="f64")
+        cov_l = cov[name] if isinstance(cov, dict) else cov
+        adj_k = solve_adj_k(np.asarray(cov_l, np.float64), K, lam,
+                            method="f64")
         upd = resid @ adj_k.T  # (C_out*k², C_in)
         w_mat, ksz, _ = _module_weight(comps.unet_params, name, coords[2])
         new_w = np.asarray(w_mat, np.float64) + upd
@@ -542,5 +769,7 @@ def execute_emcid_unet(
                                         resid.astype(np.float32))
         if verbose:
             print(f"{name}: wrote {K.shape[1]} region keys, "
+                  f"z error {float(np.linalg.norm(sources, axis=0).mean()):.4f}, "
                   f"upd norm {float(np.linalg.norm(upd)):.4f}")
     return deltas_out, comps
+

@@ -150,6 +150,38 @@ def test_capture_module_inputs(comps, rng):
 
 
 @pytest.mark.slow
+def test_unet_edit_conv_kind_and_objectives(comps, rng, monkeypatch):
+    """Regressions from the round-4 review: (a) a conv-kind final layer
+    must not crash (the old (B, N, C) injection could not broadcast onto
+    the NHWC conv output); (b) use_sampled_noise and the default dest-
+    prompt target are distinct objectives (reference compute_z.py:
+    1952-1960)."""
+    import jax as _jax
+
+    import emcid_tpu.engine.unet_edit as ue
+
+    monkeypatch.setattr(ue, "_NUM_UP", 2)
+    monkeypatch.setattr(ue, "_NUM_DOWN", 2)
+    mean = rng.randn(1, 1, 8, 8, 4).astype(np.float32) * 0.18
+    logvar = np.full(mean.shape, -6.0, np.float32)
+    region = np.zeros((1, 8, 8), np.float32)
+    region[0, 2:6, 2:6] = 1.0
+
+    hp_conv = _hp(final_layer=["up_blocks", 1, "res-last-conv", 1],
+                  spread_sub_block_cnt=2)
+    d_conv = compute_delta_unet(comps, REQ, hp_conv, mean, logvar, region,
+                                rng=_jax.random.PRNGKey(0), verbose=False)
+    assert np.isfinite(d_conv).all() and np.abs(d_conv).sum() > 0
+
+    hp = _tiny_walk_hp()
+    d_dest = compute_delta_unet(comps, REQ, hp, mean, logvar, region,
+                                rng=_jax.random.PRNGKey(0), verbose=False)
+    d_noise = compute_delta_unet(
+        comps, REQ, _tiny_walk_hp(use_sampled_noise=True), mean, logvar,
+        region, rng=_jax.random.PRNGKey(0), verbose=False)
+    assert not np.allclose(d_dest, d_noise)
+
+
 def test_unet_edit_end_to_end(comps, rng, monkeypatch):
     import emcid_tpu.engine.unet_edit as ue
 
