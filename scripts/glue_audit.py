@@ -19,6 +19,10 @@ Run on CPU (no TPU client): lowering only, no compile/execute.
   JAX_PLATFORMS=cpu python -u scripts/glue_audit.py
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 from __future__ import annotations
 
 import collections

@@ -9,6 +9,10 @@ Times, on the real chip:
 Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/prof_attn.py
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 from __future__ import annotations
 
 import time

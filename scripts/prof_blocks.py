@@ -3,6 +3,10 @@
 Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/prof_blocks.py
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import os
 import time
 

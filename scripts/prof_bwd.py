@@ -14,7 +14,11 @@ weights) with scanned slope timing:
 Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/prof_bwd.py
 """
 
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 

@@ -12,7 +12,11 @@ Optional: PROF_GN_RUNGS=1,2,3 to select rungs.
 """
 
 import os
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
