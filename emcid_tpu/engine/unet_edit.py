@@ -29,13 +29,23 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from emcid_tpu.engine.uce import get_unet_weight as _get_linear_weight
 from emcid_tpu.engine.uce import set_unet_weight as _set_linear_weight
 from emcid_tpu.engine.uce import unet_param_path
 from emcid_tpu.globals_cfg import UNET_EDIT_TEMPLATES
-from emcid_tpu.models.pipeline import SDComponents, encode_prompts
+from emcid_tpu.models.pipeline import SDComponents, _cached_jit, encode_prompts
 from emcid_tpu.models.scheduler import add_noise
 from emcid_tpu.ops.solve import solve_adj_k
+
+
+def _sched_key(schedule) -> tuple:
+    """Schedule → hashable memo key (full betas table, per ADVICE r3 #3 —
+    endpoint-only keys alias linear and scaled_linear schedules)."""
+    return (schedule.num_train_timesteps, schedule.prediction_type,
+            np.asarray(schedule.betas, np.float64).tobytes())
+
+
+def _unet_key(unet) -> tuple:
+    return (unet.config, str(unet.dtype))
 
 # ---------------------------------------------------------------------------
 # layer walk (reference emcid_main.py:2092-2165)
@@ -169,15 +179,19 @@ def pre_fold_output_delta(output_delta: jnp.ndarray, ksz: int) -> jnp.ndarray:
 
 
 def _module_weight(params, name: str, kind: str):
-    """(W_mat (out*k², in), ksz, bias)."""
+    """(W_mat (out*k², in), ksz, bias).  The bias is returned for BOTH
+    kinds — the reference always adds ``repeat_interleave(bias)`` to the
+    pre-fold output (compute_ks.py:265-273), and ``to_out.0`` /
+    ``ff.net.2`` are biased Dense layers; dropping it would shift every
+    intermediate spreading layer's residual target by the per-channel
+    bias difference between modules."""
+    node = params
+    for p in unet_param_path(name):
+        node = node[p]
     if "conv" in kind or "res" in kind:
-        node = params
-        for p in unet_param_path(name):
-            node = node[p]
         kern = node["kernel"]
         return conv_weight_as_matrix(kern), kern.shape[0], node.get("bias")
-    w = _get_linear_weight(params, name)
-    return w, 1, None
+    return node["kernel"].T, 1, node.get("bias")
 
 
 def _set_module_weight(params, name: str, kind: str, w_mat):
@@ -230,6 +244,53 @@ def _intermediate_path(name: str, kind: str) -> Tuple[str, ...]:
     return tuple(path)
 
 
+def _capture_inputs_sweep(unet, schedule, ipath: Tuple[str, ...], leaf: str):
+    """Memoized jitted timestep sweep accumulating a module's INPUT.
+
+    Params enter as jit ARGUMENTS (a closure-captured UNet is baked into
+    the program as 3.4 GB of constants at SD shapes — observed to crash
+    the remote compiler); all timesteps run in ONE scanned program; the
+    program is cached per (unet config, schedule, tap) so repeat calls
+    across requests/layers neither retrace nor pay a fresh remote compile.
+    """
+
+    def build():
+        def sweep(unet_params, mean, logvar, ctx, ts_arr, keys):
+            def one(acc, tk):
+                t, key = tk
+                k1, k2 = jax.random.split(key)
+                latents = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                    k1, mean.shape, mean.dtype)
+                noise = jax.random.normal(k2, latents.shape, latents.dtype)
+                ts = jnp.full((latents.shape[0],), t, jnp.int32)
+                noisy = add_noise(schedule, latents, noise, ts)
+                _, state = unet.apply(
+                    {"params": unet_params}, noisy, ts, ctx,
+                    mutable=["intermediates"],
+                )
+                node = state["intermediates"]
+                for p in ipath:
+                    node = node[p]
+                return acc + node[leaf][0], None
+
+            shape = jax.eval_shape(
+                lambda: unet.apply(
+                    {"params": unet_params},
+                    mean, jnp.zeros((mean.shape[0],), jnp.int32), ctx,
+                    mutable=["intermediates"])[1])
+            node = shape["intermediates"]
+            for p in ipath:
+                node = node[p]
+            acc0 = jnp.zeros(node[leaf][0].shape, jnp.float32)
+            acc, _ = jax.lax.scan(one, acc0, (ts_arr, keys))
+            return acc
+
+        return jax.jit(sweep)
+
+    return _cached_jit(("unet_edit.capture_in", _unet_key(unet),
+                        _sched_key(schedule), ipath, leaf), build)
+
+
 def capture_module_inputs(
     components: SDComponents,
     request: Dict,
@@ -250,41 +311,8 @@ def capture_module_inputs(
     logvar = jnp.asarray(latents_logvar[0])
     ipath = _intermediate_path(module_name, kind)
     leaf = _SOW_LEAF[kind]
-
-    # params enter as jit ARGUMENTS (a closure-captured UNet is baked into
-    # the program as 3.4 GB of constants at SD shapes — observed to crash
-    # the remote compiler); all timesteps run in ONE scanned program
-    @jax.jit
-    def sweep(unet_params, mean, logvar, ctx, ts_arr, keys):
-        def one(acc, tk):
-            t, key = tk
-            k1, k2 = jax.random.split(key)
-            latents = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
-                k1, mean.shape, mean.dtype)
-            noise = jax.random.normal(k2, latents.shape, latents.dtype)
-            ts = jnp.full((latents.shape[0],), t, jnp.int32)
-            noisy = add_noise(components.schedule, latents, noise, ts)
-            _, state = components.unet.apply(
-                {"params": unet_params}, noisy, ts, ctx,
-                mutable=["intermediates"],
-            )
-            node = state["intermediates"]
-            for p in ipath:
-                node = node[p]
-            return acc + node[leaf][0], None
-
-        shape = jax.eval_shape(
-            lambda: components.unet.apply(
-                {"params": unet_params},
-                mean, jnp.zeros((mean.shape[0],), jnp.int32), ctx,
-                mutable=["intermediates"])[1])
-        node = shape["intermediates"]
-        for p in ipath:
-            node = node[p]
-        acc0 = jnp.zeros(node[leaf][0].shape, jnp.float32)
-        acc, _ = jax.lax.scan(one, acc0, (ts_arr, keys))
-        return acc
-
+    sweep = _capture_inputs_sweep(components.unet, components.schedule,
+                                  ipath, leaf)
     keys = jnp.stack([jax.random.fold_in(rng, i)
                       for i in range(len(timesteps))])
     acc = sweep(components.unet_params, mean, logvar, ctx,
@@ -306,62 +334,166 @@ def capture_block_outputs(
     ctx: jnp.ndarray,
     module_name: str,
     kind: str,
-    latents_mean: np.ndarray,
-    latents_logvar: np.ndarray,
+    latents0: jnp.ndarray,
     mask_mod: jnp.ndarray,
     num_t_blocks: int,
     rng: jax.Array,
 ) -> jnp.ndarray:
     """Per-time-block region-mean module OUTPUT ``(num_t_blocks, C_out)``.
 
-    The reference captures ``original_output[ti]`` lazily from the first
-    batch element whose random timestep lands in block ``ti``
-    (compute_z.py:1855-1885) — an rng-order-dependent draw.  Here each
-    block gets one uniformly-drawn timestep inside the block and the
-    region-mean is averaged over the image batch: the same quantity with
-    the same t-distribution, deterministically.
+    Reference protocol (compute_z.py:1855-1885): ``original_output[ti]``
+    is captured lazily from the first batch element whose random training
+    timestep lands in block ``ti`` — i.e. ONE image's region-mean at one
+    uniform-in-block timestep, evaluated on the SAME posterior latent
+    draw the optimization uses, with fresh noise.  The exact (step,
+    element) realization is torch-rng-dependent, so this reproduces the
+    protocol's distribution: per block, one uniform timestep, one
+    uniformly-drawn image, ``latents0`` + fresh noise.
+
+    ``EMCID_TPU_UNET_ORIG_EST=batchmean`` opts into a lower-variance
+    estimator (region-mean averaged over the whole image batch) instead.
     """
-    mean = jnp.asarray(latents_mean[0])
-    logvar = jnp.asarray(latents_logvar[0])
+    import os
+
+    est = os.environ.get("EMCID_TPU_UNET_ORIG_EST", "single")
     n_ts = components.schedule.num_train_timesteps
     block_size = n_ts // num_t_blocks
     ipath = _intermediate_path(module_name, kind)
     leaf = _SOW_OUT_LEAF[kind]
+    unet, schedule = components.unet, components.schedule
 
-    @jax.jit
-    def sweep(unet_params, mean, logvar, ctx, t0s, keys):
-        def one(_, tk):
-            t0, key = tk
-            k1, k2, k3 = jax.random.split(key, 3)
-            t = t0 + jax.random.randint(k3, (), 0, block_size)
-            latents = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
-                k1, mean.shape, mean.dtype)
-            noise = jax.random.normal(k2, latents.shape, latents.dtype)
-            ts = jnp.full((latents.shape[0],), t, jnp.int32)
-            noisy = add_noise(components.schedule, latents, noise, ts)
-            _, state = components.unet.apply(
-                {"params": unet_params}, noisy, ts, ctx,
-                mutable=["intermediates"],
-            )
-            node = state["intermediates"]
-            for pp in ipath:
-                node = node[pp]
-            out = node[leaf][0].astype(jnp.float32)
-            if out.ndim == 4:  # conv NHWC → (B, H*W, C)
-                out = out.reshape(out.shape[0], -1, out.shape[-1])
-            # region-mean per image, then mean over images
-            num = jnp.sum(out * mask_mod, axis=1)  # (B, C)
-            den = jnp.maximum(jnp.sum(mask_mod, axis=1), 1.0)
-            return None, jnp.mean(num / den, axis=0)
+    def build():
+        def sweep(unet_params, latents0, ctx, mask_mod, t0s, keys):
+            def one(_, tk):
+                t0, key = tk
+                k2, k3, k4 = jax.random.split(key, 3)
+                t = t0 + jax.random.randint(k3, (), 0, block_size)
+                noise = jax.random.normal(k2, latents0.shape,
+                                          latents0.dtype)
+                ts = jnp.full((latents0.shape[0],), t, jnp.int32)
+                noisy = add_noise(schedule, latents0, noise, ts)
+                _, state = unet.apply(
+                    {"params": unet_params}, noisy, ts, ctx,
+                    mutable=["intermediates"],
+                )
+                node = state["intermediates"]
+                for pp in ipath:
+                    node = node[pp]
+                out = node[leaf][0].astype(jnp.float32)
+                if out.ndim == 4:  # conv NHWC → (B, H*W, C)
+                    out = out.reshape(out.shape[0], -1, out.shape[-1])
+                # region-mean per image
+                num = jnp.sum(out * mask_mod, axis=1)  # (B, C)
+                den = jnp.maximum(jnp.sum(mask_mod, axis=1), 1.0)
+                per_img = num / den
+                if est == "batchmean":
+                    return None, jnp.mean(per_img, axis=0)
+                b = jax.random.randint(k4, (), 0, per_img.shape[0])
+                return None, per_img[b]
 
-        _, orig = jax.lax.scan(one, None, (t0s, keys))
-        return orig  # (num_t_blocks, C_out)
+            _, orig = jax.lax.scan(one, None, (t0s, keys))
+            return orig  # (num_t_blocks, C_out)
 
+        return jax.jit(sweep)
+
+    sweep = _cached_jit(("unet_edit.capture_out", _unet_key(unet),
+                         _sched_key(schedule), ipath, leaf, block_size,
+                         est), build)
     t0s = jnp.asarray(
         [i * block_size for i in range(num_t_blocks)], jnp.int32)
     keys = jnp.stack([jax.random.fold_in(rng, i)
                       for i in range(num_t_blocks)])
-    return sweep(components.unet_params, mean, logvar, ctx, t0s, keys)
+    return sweep(components.unet_params, latents0, ctx, mask_mod, t0s,
+                 keys)
+
+
+def _delta_opt_chunk(unet, schedule, inject_path: str, conv_kind: bool,
+                     use_samp: bool, objective: str, mu: float, v_lr: float,
+                     wd: float, clamp: float, num_t_blocks: int, n_ts: int,
+                     P: int, side: int):
+    """Memoized jitted Stage-1 step chunk for the UNet-region optimizer.
+
+    Params/activations enter as jit ARGUMENTS (a closure-captured UNet is
+    baked into the program as 3.4 GB of constants at SD shapes) and the
+    step loop is scanned + host-chunked.  Every closure constant is part
+    of the memo key, so repeat requests with the same hparams reuse one
+    compiled program instead of paying a fresh remote compile each call.
+    """
+    block_size = n_ts // num_t_blocks
+
+    def build():
+        opt = optax.adam(v_lr)
+
+        def run_chunk(pu, data, carry, keys):
+            def loss_fn(delta, idxs, noise, ts):
+                noisy = add_noise(schedule, data["latents"], noise, ts)
+                d_sel = delta[idxs]  # (P, C_out)
+                if conv_kind:
+                    inj = (data["mask"].reshape(P, side, side, 1)
+                           * d_sel[:, None, None, :])  # NHWC
+                else:
+                    inj = data["mask"] * d_sel[:, None, :]  # (P, N, C)
+
+                @jax.checkpoint
+                def fwd_inject(ctx):
+                    return unet.apply(
+                        {"params": pu}, noisy, ts, ctx,
+                        inject={inject_path: inj},
+                    ).sample
+
+                @jax.checkpoint
+                def fwd_plain(ctx):
+                    return unet.apply({"params": pu}, noisy, ts,
+                                      ctx).sample
+
+                eps_edit = fwd_inject(data["ctx"])
+                if objective == "esd":
+                    eps_dst = jax.lax.stop_gradient(
+                        fwd_plain(data["ctx_dst"]))
+                    eps_src = jax.lax.stop_gradient(
+                        fwd_plain(data["ctx"]))
+                    target = eps_dst - mu * (eps_src - eps_dst)
+                elif use_samp:
+                    target = noise
+                else:
+                    target = jax.lax.stop_gradient(
+                        fwd_plain(data["ctx_dst"]))
+                mse = jnp.mean((eps_edit - target) ** 2)
+                reg = (wd * jnp.sqrt(jnp.sum(d_sel**2) + 1e-12)
+                       / jnp.maximum(jnp.sum(data["orig"][idxs] ** 2),
+                                     1e-12))
+                return mse + reg
+
+            def step(carry, key):
+                delta, opt_state = carry
+                k2, k3 = jax.random.split(key)
+                noise = jax.random.normal(k2, data["latents"].shape,
+                                          data["latents"].dtype)
+                ts = jax.random.randint(k3, (P,), 0, n_ts)
+                idxs = jnp.clip(ts // block_size, 0, num_t_blocks - 1)
+                loss, g = jax.value_and_grad(loss_fn)(delta, idxs, noise,
+                                                      ts)
+                updates, opt_state = opt.update(g, opt_state, delta)
+                delta = optax.apply_updates(delta, updates)
+                # per-step L2 clamp on the touched rows (reference
+                # :1973-1977, incl. the full-delta-norm divisor quirk)
+                sel = delta[idxs]
+                sel_n = jnp.sqrt(jnp.sum(sel**2) + 1e-12)
+                max_n = clamp * jnp.sqrt(
+                    jnp.sum(data["orig"][idxs] ** 2) + 1e-12)
+                factor = max_n / jnp.sqrt(jnp.sum(delta**2) + 1e-12)
+                delta = jnp.where(sel_n > max_n,
+                                  delta.at[idxs].set(sel * factor), delta)
+                return (delta, opt_state), loss
+
+            return jax.lax.scan(step, carry, keys)
+
+        return jax.jit(run_chunk)
+
+    return _cached_jit(("unet_edit.delta_opt", _unet_key(unet),
+                        _sched_key(schedule), inject_path, conv_kind,
+                        use_samp, objective, mu, v_lr, wd, clamp,
+                        num_t_blocks, n_ts, P, side), build)
 
 
 def compute_delta_unet(
@@ -442,13 +574,14 @@ def compute_delta_unet(
         (region_mask.shape[0], side, side), "nearest",
     ).reshape(region_mask.shape[0], N, 1)
 
-    orig = capture_block_outputs(
-        components, ctx, final_name, kind, latents_mean, latents_logvar,
-        mask, hp.num_t_blocks, k_orig)  # (num_t_blocks, C_out)
-
-    # ONE posterior draw (reference encodes + samples before the loop)
+    # ONE posterior draw (reference encodes + samples before the loop);
+    # the original-output capture below shares it, per the reference
     latents0 = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
         k_lat, mean.shape, mean.dtype)
+
+    orig = capture_block_outputs(
+        components, ctx, final_name, kind, latents0,
+        mask, hp.num_t_blocks, k_orig)  # (num_t_blocks, C_out)
 
     opt = optax.adam(hp.v_lr)
     conv_kind = kind == "res-last-conv"
@@ -456,71 +589,10 @@ def compute_delta_unet(
     mu = (float(hp.esd_mu) if getattr(hp, "esd_mu", None)
           not in (None, "None") else 1.0)
 
-    # params/activations enter as jit ARGUMENTS (a closure-captured UNet
-    # is baked into the program as 3.4 GB of constants at SD shapes) and
-    # the step loop is scanned + host-chunked
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=())
-    def run_chunk(pu, data, carry, keys):
-        def loss_fn(delta, idxs, noise, ts):
-            noisy = add_noise(components.schedule, data["latents"], noise,
-                              ts)
-            d_sel = delta[idxs]  # (P, C_out)
-            if conv_kind:
-                inj = (data["mask"].reshape(P, side, side, 1)
-                       * d_sel[:, None, None, :])  # NHWC
-            else:
-                inj = data["mask"] * d_sel[:, None, :]  # (P, N, C)
-
-            @jax.checkpoint
-            def fwd_inject(ctx):
-                return unet.apply(
-                    {"params": pu}, noisy, ts, ctx,
-                    inject={inject_path: inj},
-                ).sample
-
-            @jax.checkpoint
-            def fwd_plain(ctx):
-                return unet.apply({"params": pu}, noisy, ts, ctx).sample
-
-            eps_edit = fwd_inject(data["ctx"])
-            if hp.objective == "esd":
-                eps_dst = jax.lax.stop_gradient(fwd_plain(data["ctx_dst"]))
-                eps_src = jax.lax.stop_gradient(fwd_plain(data["ctx"]))
-                target = eps_dst - mu * (eps_src - eps_dst)
-            elif use_samp:
-                target = noise
-            else:
-                target = jax.lax.stop_gradient(fwd_plain(data["ctx_dst"]))
-            mse = jnp.mean((eps_edit - target) ** 2)
-            reg = (hp.v_weight_decay
-                   * jnp.sqrt(jnp.sum(d_sel**2) + 1e-12)
-                   / jnp.maximum(jnp.sum(data["orig"][idxs] ** 2), 1e-12))
-            return mse + reg
-
-        def step(carry, key):
-            delta, opt_state = carry
-            k2, k3 = jax.random.split(key)
-            noise = jax.random.normal(k2, data["latents"].shape,
-                                      data["latents"].dtype)
-            ts = jax.random.randint(k3, (P,), 0, n_ts)
-            idxs = jnp.clip(ts // block_size, 0, hp.num_t_blocks - 1)
-            loss, g = jax.value_and_grad(loss_fn)(delta, idxs, noise, ts)
-            updates, opt_state = opt.update(g, opt_state, delta)
-            delta = optax.apply_updates(delta, updates)
-            # per-step L2 clamp on the touched rows (reference :1973-1977,
-            # incl. the full-delta-norm divisor quirk)
-            sel = delta[idxs]
-            sel_n = jnp.sqrt(jnp.sum(sel**2) + 1e-12)
-            max_n = hp.clamp_norm_factor * jnp.sqrt(
-                jnp.sum(data["orig"][idxs] ** 2) + 1e-12)
-            factor = max_n / jnp.sqrt(jnp.sum(delta**2) + 1e-12)
-            delta = jnp.where(sel_n > max_n,
-                              delta.at[idxs].set(sel * factor), delta)
-            return (delta, opt_state), loss
-
-        return jax.lax.scan(step, carry, keys)
+    run_chunk = _delta_opt_chunk(
+        unet, components.schedule, inject_path, conv_kind, use_samp,
+        hp.objective, mu, float(hp.v_lr), float(hp.v_weight_decay),
+        float(hp.clamp_norm_factor), hp.num_t_blocks, n_ts, P, side)
 
     data = dict(latents=latents0, ctx=ctx, ctx_dst=ctx_dst, mask=mask,
                 orig=orig)
@@ -535,7 +607,10 @@ def compute_delta_unet(
         try:
             from emcid_tpu.profiling import unet_fwd_flops
 
-            fwd_eq = 4.0 if hp.objective == "esd" else 3.0
+            # esd: inject fwd+bwd + 2 plain fwds ≈ 4 fwd-equivalents;
+            # use_sampled_noise: no plain fwd at all ≈ 2; default: 3
+            fwd_eq = (4.0 if hp.objective == "esd"
+                      else 2.0 if use_samp else 3.0)
             est_s = fwd_eq * unet_fwd_flops(
                 unet.config, P, mean.shape[-2]) / 50e12
             chunk = max(1, min(chunk, int(15.0 / max(est_s, 1e-3))))
@@ -568,6 +643,43 @@ def _inject_path(name: str, kind: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _region_inputs_sweep(unet, schedule, ipath: Tuple[str, ...], leaf: str):
+    """Memoized jitted block-mean module-INPUT sweep for ``_region_io``
+    (one compiled program per (unet config, schedule, tap) — the desired
+    pass and every (layer, request) key pass reuse it instead of
+    retracing a fresh closure per call)."""
+
+    def build():
+        def sweep(unet_params, latents0, ctx, ts_arr, keys):
+            num_imgs = latents0.shape[0]
+
+            def one(_, tk):
+                t, key = tk
+                noise = jax.random.normal(key, latents0.shape,
+                                          latents0.dtype)
+                ts = jnp.full((num_imgs,), t, jnp.int32)
+                noisy = add_noise(schedule, latents0, noise, ts)
+                _, state = unet.apply({"params": unet_params}, noisy, ts,
+                                      ctx, mutable=["intermediates"])
+                node = state["intermediates"]
+                for pp in ipath:
+                    node = node[pp]
+                x = node[leaf][0].astype(jnp.float32)
+                if x.ndim == 4:
+                    x = x.reshape(x.shape[0], -1, x.shape[-1])
+                return None, x
+
+            _, xs = jax.lax.scan(one, None, (ts_arr.reshape(-1), keys))
+            # (n_blocks, per_block, num_imgs, N, C_in) → block-mean
+            xs = xs.reshape(ts_arr.shape + xs.shape[1:])
+            return xs.mean(axis=1)
+
+        return jax.jit(sweep)
+
+    return _cached_jit(("unet_edit.region_in", _unet_key(unet),
+                        _sched_key(schedule), ipath, leaf), build)
+
+
 def _region_io(
     components: SDComponents,
     request: Dict,
@@ -584,8 +696,9 @@ def _region_io(
     """Region keys / pre-fold outputs for ONE request at ONE module
     (reference get_module_input_output_at_regions, compute_ks.py:157-327):
 
-    * latents drawn from the posterior ONCE; ``num_step_per_block``
-      strided timesteps per time block, fresh noise each (:183-256);
+    * latents drawn from the posterior ONCE; ``block_size //
+      num_step_per_block``-strided timesteps per time block (untruncated
+      range → 4 or 5 draws), fresh noise each (:183-256);
     * module INPUTS averaged over the block's draws, selected at the
       ksz-DILATED region points → keys ``(Npts, C_in)`` in (block, img,
       point) column order;
@@ -604,9 +717,13 @@ def _region_io(
     n_ts = components.schedule.num_train_timesteps
     n_blocks = hp.num_t_blocks
     block_size = n_ts // n_blocks
+    # reference compute_ks.py:188-191: range(left, right, stride) with NO
+    # truncation — ceil(block_size/stride) draws per block (5 when the
+    # block size is not divisible by num_step_per_block); blocks are even
+    # (get_accum_time_blocks), so every block has the same count
     stride = max(block_size // num_step_per_block, 1)
     ts_list = [list(range(b * block_size, (b + 1) * block_size, stride))
-               [:num_step_per_block] for b in range(n_blocks)]
+               for b in range(n_blocks)]
 
     rng, k_lat = jax.random.split(rng)
     latents0 = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
@@ -615,34 +732,13 @@ def _region_io(
     ipath = _intermediate_path(name, kind)
     leaf = _SOW_LEAF[kind]
     unet = components.unet
+    sweep = _region_inputs_sweep(unet, components.schedule, ipath, leaf)
 
-    @jax.jit
-    def sweep(unet_params, latents0, ctx, ts_arr, keys):
-        def one(_, tk):
-            t, key = tk
-            noise = jax.random.normal(key, latents0.shape, latents0.dtype)
-            ts = jnp.full((num_imgs,), t, jnp.int32)
-            noisy = add_noise(components.schedule, latents0, noise, ts)
-            _, state = unet.apply({"params": unet_params}, noisy, ts, ctx,
-                                  mutable=["intermediates"])
-            node = state["intermediates"]
-            for pp in ipath:
-                node = node[pp]
-            x = node[leaf][0].astype(jnp.float32)
-            if x.ndim == 4:
-                x = x.reshape(x.shape[0], -1, x.shape[-1])
-            return None, x
-
-        _, xs = jax.lax.scan(one, None, (ts_arr, keys))
-        # (n_blocks, per_block, num_imgs, N, C_in) → block-mean
-        xs = xs.reshape((n_blocks, -1) + xs.shape[1:])
-        return xs.mean(axis=1)
-
-    flat_ts = jnp.asarray([t for blk in ts_list for t in blk], jnp.int32)
+    ts_arr = jnp.asarray(ts_list, jnp.int32)  # (n_blocks, per_block)
     keys_rng = jnp.stack([jax.random.fold_in(rng, i)
-                          for i in range(flat_ts.shape[0])])
+                          for i in range(ts_arr.size)])
     inputs_b = np.asarray(sweep(components.unet_params, latents0, ctx,
-                                flat_ts, keys_rng))
+                                ts_arr, keys_rng))
     N = inputs_b.shape[2]
     side = int(np.sqrt(N))
 

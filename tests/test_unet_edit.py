@@ -182,6 +182,7 @@ def test_unet_edit_conv_kind_and_objectives(comps, rng, monkeypatch):
     assert not np.allclose(d_dest, d_noise)
 
 
+@pytest.mark.slow
 def test_unet_edit_end_to_end(comps, rng, monkeypatch):
     import emcid_tpu.engine.unet_edit as ue
 
