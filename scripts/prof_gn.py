@@ -21,14 +21,33 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def timeit(fn, *args, reps=5):
-    out = fn(*args)
-    _ = float(np.asarray(out))
-    t0 = time.time()
-    for _ in range(reps):
-        out = fn(*args)
-    val = float(np.asarray(out))
-    return (time.time() - t0) / reps, val
+def timeit(fn, *args, lo=2, hi=8):
+    """Slope-timed per-iteration cost of ``fn(*args)``.
+
+    The tunneled backend pays ~0.5 s per dispatch, so averaging a few
+    raw calls of a 1-500 ms program measures the tunnel, not the kernel.
+    Instead the op runs inside a ``fori_loop`` with a RUNTIME trip count
+    (one compile serves every n); per-iteration cost is the slope
+    (t_hi - t_lo) / (hi - lo).  The loop carry feeds each iteration so
+    XLA cannot hoist or CSE the body.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(n, *args):
+        def body(_, c):
+            a0 = args[0] * jnp.asarray(1 + c * 0, args[0].dtype)
+            return c + jnp.asarray(fn(a0, *args[1:]), jnp.float32)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    val = float(np.asarray(run(lo, *args)))  # compile + warm run
+    ts = {}
+    for n in (lo, hi):
+        t0 = time.time()
+        out = float(np.asarray(run(n, *args)))
+        ts[n] = time.time() - t0
+    return (ts[hi] - ts[lo]) / (hi - lo), out / hi
 
 
 def rung1():
@@ -63,8 +82,8 @@ def rung1():
         for nm, fp, fx in [("LN fwd", l_pallas, l_xla),
                            ("LN fwd+dx", gl_pallas, gl_xla)]:
             try:
-                tp, vp = timeit(jax.jit(fp), x, sc, bi)
-                tx, vx = timeit(jax.jit(fx), x, sc, bi)
+                tp, vp = timeit(fp, x, sc, bi)
+                tx, vx = timeit(fx, x, sc, bi)
                 print(f"({B},{S},{C}) {nm}: pallas {tp * 1e3:6.2f} ms "
                       f"({2 * gb / tp:5.0f} GB/s rd+wr)  "
                       f"xla {tx * 1e3:6.2f} ms  "
@@ -124,8 +143,8 @@ def rung1():
         for nm, fp, fx in [("fwd", f_pallas, f_xla),
                            ("fwd+dx", g_pallas, g_xla)]:
             try:
-                tp, vp = timeit(jax.jit(fp), x, sc, bi)
-                tx, vx = timeit(jax.jit(fx), x, sc, bi)
+                tp, vp = timeit(fp, x, sc, bi)
+                tx, vx = timeit(fx, x, sc, bi)
                 print(f"({B},{S},{C}) {nm}: pallas {tp * 1e3:6.2f} ms "
                       f"({2 * gb / tp:5.0f} GB/s rd+wr)  "
                       f"xla {tx * 1e3:6.2f} ms  "
@@ -181,11 +200,12 @@ def rung23(rungs):
 
     unet, params, sample, t, ctx = _unet_setup()
 
-    def fwd(params, sample, t, ctx):
+    # sample first so timeit's loop-carry perturbation hits an array
+    def fwd(sample, params, t, ctx):
         return unet.apply({"params": params}, sample, t,
                           ctx).sample.astype(jnp.float32).sum()
 
-    def fwd_ctxgrad(params, sample, t, ctx):
+    def fwd_ctxgrad(sample, params, t, ctx):
         g = jax.grad(
             lambda c: unet.apply({"params": params}, sample, t,
                                  c).sample.astype(jnp.float32).sum())(ctx)
@@ -193,16 +213,16 @@ def rung23(rungs):
 
     legs = []
     if "2" in rungs:
-        legs.append(("UNet fwd B=24", fwd))
+        legs.append(("UNet fwd B=24", fwd, 2, 6))
     if "3" in rungs:
-        legs.append(("UNet fwd+ctx-grad B=24", fwd_ctxgrad))
-    for nm, f in legs:
+        legs.append(("UNet fwd+ctx-grad B=24", fwd_ctxgrad, 1, 4))
+    for nm, f, lo, hi in legs:
         row = [nm]
         for gn, ln in (("0", "0"), ("1", "0"), ("0", "1"), ("1", "1")):
             os.environ["EMCID_TPU_FUSED_GN"] = gn
             os.environ["EMCID_TPU_FUSED_LN"] = ln
             try:
-                tt, vv = timeit(jax.jit(f), params, sample, t, ctx, reps=3)
+                tt, vv = timeit(f, sample, params, t, ctx, lo=lo, hi=hi)
                 # vv is the f32 sum-loss: must agree across flag configs
                 # (weak whole-program parity on top of rung1's exact diff)
                 row.append(f"GN={gn} LN={ln} {tt * 1e3:7.1f} ms "
