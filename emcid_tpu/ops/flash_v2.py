@@ -45,6 +45,31 @@ def _round_up(x: int, m: int) -> int:
     return _ceil(x, m) * m
 
 
+def _fit_block(cap: int, n: int) -> int:
+    """Largest 128-multiple block <= cap minimizing total padded length.
+
+    For power-of-two n this reproduces ``min(cap, n)``.  For the train_res
+    grids the sequence is NOT a power of two (384 px -> 48^2 = 2304 tokens):
+    a blind cap-sized block pads 2304 -> 4096 on the q axis (and 3072 on
+    the k axis at BK=1024) — 2.4x physical work.  Blocks of 1152/768 tile
+    2304 exactly; padding-aware choice keeps the train_res attention win.
+
+    Blocks below 512 are never considered for sequences >= 512: the v5e
+    sweep showed small blocks losing to padding at every measured shape
+    (grid overhead + less latency hiding), so a 128-block that happens to
+    tile exactly (e.g. 1664 = 13*128) would still be a net loss vs a
+    896-block with 7.7% padding.
+    """
+    nr = _round_up(n, 128)
+    lo = min(512, nr)
+    best_b, best = lo, None
+    for b in range(lo, min(cap, nr) + 1, 128):
+        key = (_round_up(nr, b), -b)  # least padding, then largest block
+        if best is None or key < best:
+            best, best_b = key, b
+    return best_b
+
+
 def _blocks(N: int, M: int, D: int, bwd: bool = False) -> Tuple[int, int]:
     # swept on v5e at the level-0 shape (B=24, N=M=4096, H=8, D=40),
     # scanned-program slope timing: fwd BQ/BK 2048/1024 -> 12.6 ms,
@@ -55,13 +80,19 @@ def _blocks(N: int, M: int, D: int, bwd: bool = False) -> Tuple[int, int]:
     #   (26.6 ms fwd+bwd);
     # * the FORWARD's o_acc is (Dt, BQ) f32 — fine at the UNet's D=40/80,
     #   but the VAE decoder's single-head D=512 attention needs BQ=1024.
+    # An explicit env var wins verbatim; the default is padding-aware
+    # (_fit_block), identical to the swept values at power-of-two N/M.
     if bwd:
-        bq = int(os.environ.get("EMCID_TPU_FLASH_BQ_BWD", 1024))
-        bk = int(os.environ.get("EMCID_TPU_FLASH_BK_BWD", 1024))
+        bq_env = os.environ.get("EMCID_TPU_FLASH_BQ_BWD")
+        bk_env = os.environ.get("EMCID_TPU_FLASH_BK_BWD")
+        bq = int(bq_env) if bq_env else _fit_block(1024, N)
+        bk = int(bk_env) if bk_env else _fit_block(1024, M)
     else:
         bq_default = 2048 if D <= 128 else 1024
-        bq = int(os.environ.get("EMCID_TPU_FLASH_BQ", bq_default))
-        bk = int(os.environ.get("EMCID_TPU_FLASH_BK", 1024))
+        bq_env = os.environ.get("EMCID_TPU_FLASH_BQ")
+        bk_env = os.environ.get("EMCID_TPU_FLASH_BK")
+        bq = int(bq_env) if bq_env else _fit_block(bq_default, N)
+        bk = int(bk_env) if bk_env else _fit_block(1024, M)
     return min(bq, _round_up(N, 128)), min(bk, _round_up(M, 128))
 
 

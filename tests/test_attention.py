@@ -193,3 +193,42 @@ def test_flash_v2_grads_cross(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5,
                                    err_msg=f"d{name}")
+
+
+def test_flash_v2_block_choice_padding_aware():
+    """Default BQ/BK minimize padded work at non-power-of-two N/M.
+
+    The swept power-of-two defaults must be reproduced exactly; the
+    train_res grids (384 px -> 2304 tokens) must tile without padding
+    instead of padding 2304 -> 4096; and exact-but-tiny blocks are
+    rejected (512 floor) in favor of slightly-padded large blocks.
+    """
+    from emcid_tpu.ops.flash_v2 import _blocks
+
+    # swept power-of-two shapes: unchanged
+    assert _blocks(4096, 4096, 40) == (2048, 1024)
+    assert _blocks(4096, 4096, 40, bwd=True) == (1024, 1024)
+    assert _blocks(1024, 77, 40) == (1024, 128)
+    assert _blocks(4096, 4096, 512) == (1024, 1024)  # VAE decoder head
+    assert _blocks(256, 256, 40) == (256, 256)
+
+    # train_res 384: 48^2 = 2304 = 2*1152 = 3*768 — exact tiling
+    assert _blocks(2304, 2304, 40) == (1152, 768)
+    assert _blocks(2304, 2304, 40, bwd=True) == (768, 768)
+    assert _blocks(2304, 77, 40) == (1152, 128)
+
+    # 1600 (320 px): 13*128 tiles exactly but is below the 512 floor;
+    # picks 896 (7.7% padding) on the k axis instead
+    assert _blocks(1600, 1600, 40) == (1664, 896)
+
+
+def test_flash_v2_forward_train_res_shape(rng):
+    """Numerics at the 2304-token train_res shape (non-pow2 blocks)."""
+    B, N, H, D = 1, 2304, 1, 40
+    q = jnp.asarray(rng.randn(B, N, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, N, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, N, H, D), jnp.float32)
+    out = flash_attention_v2(q, k, v, D**-0.5, True)
+    ref = _ein(q, k, v, D**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
