@@ -109,9 +109,19 @@ def main():
             schedule=sched,
         )
         edit_layers = [7, 8, 9, 10]
-        latent_hw = 64  # 512x512 images
+        latent_hw = 64  # native 512x512 images
 
-    image_hw = latent_hw * comps.vae_scale
+    # product defaults (engine.editor / engine.training_images), both
+    # driven by the same env knobs as the product path: training runs at
+    # train_res (384 at the native-512 shape; EMCID_TPU_TRAIN_RES=0
+    # restores 512) with CFG truncated to the first 60% of sampler steps
+    # (EMCID_TPU_CFG_INTERVAL=1.0 restores the reference protocol)
+    from emcid_tpu.engine.editor import resolve_train_res
+    from emcid_tpu.engine.training_images import resolve_cfg_interval
+
+    image_hw = resolve_train_res(comps)
+    latent_hw = image_hw // comps.vae_scale
+    cfg_interval = resolve_cfg_interval(None, gen_steps)
 
     hp = EMCIDHyperParams.from_dict({
         "layers": edit_layers, "clamp_norm_factor": 1.5,
@@ -169,7 +179,8 @@ def main():
             comps, prompts, seeds,
             batch_size=min(len(prompts), gen_bs) if gen_bs else len(prompts),
             num_inference_steps=gen_steps, guidance_scale=7.5,
-            height=image_hw, width=image_hw, sampler=gen_sampler)
+            height=image_hw, width=image_hw, sampler=gen_sampler,
+            cfg_interval=cfg_interval)
         return (mean.reshape(n_concepts, 1, n_prompts, latent_hw, latent_hw, 4),
                 logvar.reshape(n_concepts, 1, n_prompts, latent_hw, latent_hw, 4))
 
@@ -249,8 +260,10 @@ def main():
         "metric": (
             f"EMCID full edit-path throughput, "
             f"{'tiny-smoke' if tiny else 'SD-v1.4'} shapes, "
-            f"{n_concepts} concepts x {grad_steps} z-steps, 1 chip "
-            f"(imagegen[{gen_sampler}-{gen_steps}] {t_gen:.1f}s @ "
+            f"{n_concepts} concepts x {grad_steps} z-steps, "
+            f"train_res {image_hw}, 1 chip "
+            f"(imagegen[{gen_sampler}-{gen_steps},cfg@{cfg_interval:g}] "
+            f"{t_gen:.1f}s @ "
             f"{gen_flops / t_gen / 1e12:.0f} TFLOP/s"
             f" + stage1[pool={eps_pool},{z_sched}-{eff_steps}] "
             f"{t_stage1:.1f}s @ {s1}"

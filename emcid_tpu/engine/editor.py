@@ -169,6 +169,42 @@ def _get_optimizer(components, hparams, fim=None, text_projection=None,
     return _OPTZ_CACHE[key]
 
 
+def resolve_train_res(components, train_res: Optional[int] = None) -> int:
+    """Training-image/Stage-1 resolution for this pipeline.
+
+    Precedence: explicit ``train_res`` kwarg > ``EMCID_TPU_TRAIN_RES`` env
+    (0 = the pipeline's native size, i.e. the reference protocol) >
+    PRODUCT DEFAULT.  The product default is 384 — but ONLY at the
+    measured native-512 protocol shape (SD-v1.x): on-chip, the z trained
+    at 384 agrees with the native-512 z at per-concept cos 0.990±0.003 /
+    norm ratio 1.003, ABOVE the 0.942 MC seed-noise floor of the native
+    protocol itself, for ≈0.56x the gen+Stage-1 FLOPs (PERF.md round 4,
+    scripts/prof_trainres.py).  Every other native size (tiny test
+    pipelines, SDXL-1024) keeps the reference resolution until measured.
+
+    The chosen resolution must survive the UNet's stride-2 chain with
+    clean halvings or the up-path skip concats mismatch (e.g. 400 ->
+    50x50 latents -> 50/25/13/7 crashes at the 13-vs-14 skip); SD
+    (3 downsamples, vae_scale 8) needs multiples of 64.
+    """
+    native = components.unet.config.sample_size * components.vae_scale
+    if train_res is None:
+        env = os.environ.get("EMCID_TPU_TRAIN_RES")
+        if env is not None:
+            train_res = int(env or 0)
+        else:
+            train_res = 384 if native == 512 else 0
+    if not train_res:
+        return int(native)
+    factor = components.vae_scale * (
+        2 ** (len(components.unet.config.block_out_channels) - 1))
+    if train_res % factor:
+        raise ValueError(
+            f"train_res={train_res} must be divisible by "
+            f"vae_scale * 2^n_downsamples = {factor}")
+    return int(train_res)
+
+
 def compute_zs_for_requests(
     components: SDComponents,
     requests: Sequence[Dict],
@@ -196,12 +232,15 @@ def compute_zs_for_requests(
     ``train_res`` (or ``EMCID_TPU_TRAIN_RES``) lowers the TRAINING-image
     resolution below the pipeline's native size (reference protocol: the
     pipe default, 512 for SD — compute_z.py:384-418); Stage-1 then also
-    optimizes at the smaller latent grid.  OPT-IN guarded deviation
-    (quadratic FLOP lever: 384 ≈ 0.56x gen+Stage-1 cost): default
-    None/0 is reference-exact; guards tests/test_train_res.py +
-    test_deviation_guards.py; flip only after an on-chip z-agreement
-    measurement (scripts/prof_trainres.py).  Eval generation is never
-    affected.
+    optimizes at the smaller latent grid.  Guarded deviation (quadratic
+    FLOP lever: 384 ≈ 0.56x gen+Stage-1 cost).  PRODUCT DEFAULT
+    (resolve_train_res, flipped round 4 after the on-chip z-agreement
+    measurement, PERF.md): 384 at the measured native-512 protocol shape
+    only — every other native size (tiny pipelines, SDXL-1024) keeps the
+    reference resolution until measured.  ``EMCID_TPU_TRAIN_RES=0`` or
+    ``train_res=<native>`` restores the reference protocol exactly;
+    guards tests/test_train_res.py + test_deviation_guards.py.  Eval
+    generation is never affected.
 
     ``eps_dest_pool=K`` precomputes the stop-gradient eps_dest forwards
     over a K-draw pool instead of one fresh forward per step (~-25% step
@@ -300,21 +339,7 @@ def compute_zs_for_requests(
                              if tia_active else None),
             eps_pool=int(eps_dest_pool), lr_sched=z_sched,
         )
-        res = components.unet.config.sample_size * components.vae_scale
-        if train_res is None:
-            train_res = int(os.environ.get("EMCID_TPU_TRAIN_RES", "0") or 0)
-        if train_res:
-            # the latent grid must survive the UNet's stride-2 chain with
-            # clean halvings or the up-path skip concats mismatch (e.g.
-            # 400 -> 50x50 latents -> 50/25/13/7 crashes at the 13-vs-14
-            # skip); SD (3 downsamples, vae_scale 8) needs multiples of 64
-            factor = components.vae_scale * (
-                2 ** (len(components.unet.config.block_out_channels) - 1))
-            if train_res % factor:
-                raise ValueError(
-                    f"train_res={train_res} must be divisible by "
-                    f"vae_scale * 2^n_downsamples = {factor}")
-            res = int(train_res)
+        res = resolve_train_res(components, train_res)
         if train_steps is None:
             # dpm++ reaches PNDM-50 quality by ~25 steps; never raise the
             # step count above what the caller asked for (tiny smoke runs

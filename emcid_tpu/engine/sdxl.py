@@ -393,17 +393,15 @@ def sdxl_training_latents(
     """(C, Simg, P, h, w, c) training-image posterior for SDXL requests:
     provided images, else SDXL-sampled source-prompt images.
 
-    ``cfg_interval`` defaults from ``EMCID_TPU_CFG_INTERVAL`` exactly like
-    the SD path (engine.training_images.training_latents_for_requests):
-    training images only, 1.0 = reference protocol."""
-    import os as _os
-
-    if cfg_interval is None:
-        cfg_interval = float(_os.environ.get("EMCID_TPU_CFG_INTERVAL",
-                                             "1.0"))
+    ``cfg_interval`` defaults exactly like the SD path
+    (engine.training_images.resolve_cfg_interval): training images only,
+    product default 0.6 for >= 10-step samplers, 1.0 = reference
+    protocol, ``EMCID_TPU_CFG_INTERVAL`` wins verbatim."""
     from emcid_tpu.engine.training_images import (
-        encode_posterior, preprocess_images,
+        encode_posterior, preprocess_images, resolve_cfg_interval,
     )
+
+    cfg_interval = resolve_cfg_interval(cfg_interval, num_inference_steps)
     from emcid_tpu.models.pipeline import SDComponents
 
     Simg = getattr(hparams, "samples_per_prompt", 1)

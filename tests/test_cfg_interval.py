@@ -13,6 +13,10 @@ Two layers of guarantee:
   2. the deviation is bounded: tiny-AICE metrics for cfg_interval=0.6 vs
      1.0 sit inside the reference mode's own seed noise (slow tier, same
      harness as the other three levers in test_deviation_guards.py).
+
+PRODUCT DEFAULT (flipped round 4 after the on-chip z-agreement
+measurement, PERF.md): 0.6 for >= 10-step samplers, 1.0 (reference)
+below — tiny smoke runs stay bitwise reference-exact.
 """
 
 import numpy as np
@@ -130,6 +134,22 @@ def test_sdxl_cfg_interval(monkeypatch):
     trunc_m, _ = sdxl_training_latents(comps, reqs, hp, **tkw)
     assert np.isfinite(trunc_m).all()
     assert not np.array_equal(ref_m, trunc_m)
+
+
+def test_default_resolution_gate(monkeypatch):
+    """Product default 0.6 engages only at protocol step counts; the env
+    restores the reference (1.0) or wins verbatim; kwarg beats env."""
+    from emcid_tpu.engine.training_images import resolve_cfg_interval
+
+    monkeypatch.delenv("EMCID_TPU_CFG_INTERVAL", raising=False)
+    assert resolve_cfg_interval(None, 25) == 0.6  # product protocol (dpm++)
+    assert resolve_cfg_interval(None, 50) == 0.6  # reference pndm-50 count
+    assert resolve_cfg_interval(None, 4) == 1.0   # tiny runs reference-exact
+    monkeypatch.setenv("EMCID_TPU_CFG_INTERVAL", "1.0")
+    assert resolve_cfg_interval(None, 25) == 1.0  # env restores reference
+    monkeypatch.setenv("EMCID_TPU_CFG_INTERVAL", "0.8")
+    assert resolve_cfg_interval(None, 4) == 0.8   # env wins verbatim
+    assert resolve_cfg_interval(0.5, 25) == 0.5   # kwarg beats env
 
 
 def test_training_images_env_restore(comps, monkeypatch):
