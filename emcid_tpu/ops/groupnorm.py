@@ -56,11 +56,19 @@ def _pick_chunk(S: int, C: int, G: int, itemsize: int, n_big: int
                 ) -> Optional[int]:
     """Channel-chunk size: k whole groups, k | G, so group statistics are
     complete within one block.  ``n_big`` = number of (S, Cc) blocks the
-    kernel holds (fwd: x+y = 2; bwd: x+g+dx = 3), each double-buffered."""
+    kernel holds (fwd: x+y = 2; bwd: x+g+dx = 3), each double-buffered.
+
+    Hardware conformance (measured on-chip, PERF.md round 4 — the TPU
+    lowering rejects what the CPU interpret mode accepts): the trailing
+    block dim must be a multiple of 128 lanes or equal the full array
+    dim, so chunks that are neither are skipped; `fits()` returns False
+    when no conforming chunk exists and the caller falls back to XLA."""
     cg = C // G
     for k in sorted((d for d in range(1, G + 1) if G % d == 0),
                     reverse=True):
         cc = k * cg
+        if cc != C and cc % 128:
+            continue
         if cc * S * itemsize * 2 * n_big <= _BUDGET:
             return cc
     return None
@@ -77,6 +85,21 @@ def _membership(cc: int, cg: int) -> jnp.ndarray:
 def _dot(a, b):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
+
+
+def _slot(gc: int) -> int:
+    """Stats-slot width: Gc rounded up to 128 lanes so the (1, 2, W)
+    stats block always conforms to the TPU lowering (the bare (1, 2, Gc)
+    block failed on-chip whenever Gc < G — PERF.md round 4)."""
+    return -(-gc // 128) * 128
+
+
+def _pad_lanes(v: jnp.ndarray, W: int) -> jnp.ndarray:
+    """(1, Gc) → (1, W) zero-padded."""
+    gc = v.shape[-1]
+    if gc == W:
+        return v
+    return jnp.concatenate([v, jnp.zeros((1, W - gc), v.dtype)], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -103,8 +126,9 @@ def _fwd_kernel(x_ref, sc_ref, bi_ref, y_ref, st_ref, *,
     mean_g = _dot(s, M) / n                                   # (1, Gc)
     var_g = jnp.maximum(_dot(sq, M) / n - mean_g * mean_g, 0.0)
     r_g = jax.lax.rsqrt(var_g + eps)
-    st_ref[0, 0:1, :] = mean_g
-    st_ref[0, 1:2, :] = r_g
+    W = st_ref.shape[-1]
+    st_ref[0, 0:1, :] = _pad_lanes(mean_g, W)
+    st_ref[0, 1:2, :] = _pad_lanes(r_g, W)
 
     mean_c = _dot(mean_g, M.T)                                # (1, Cc)
     r_c = _dot(r_g, M.T)
@@ -134,6 +158,7 @@ def _fwd_call(x3, scale, bias, G: int, eps: float, act: str,
     sc2 = scale.astype(jnp.float32).reshape(1, C)
     bi2 = bias.astype(jnp.float32).reshape(1, C)
 
+    W = _slot(Gc)
     y, st = pl.pallas_call(
         functools.partial(_fwd_kernel, S=S, Cg=Cg, eps=eps, act=act, R=R),
         grid=(B, nC),
@@ -144,17 +169,20 @@ def _fwd_call(x3, scale, bias, G: int, eps: float, act: str,
         ],
         out_specs=[
             pl.BlockSpec((1, S, Cc), lambda b, j: (b, 0, j)),
-            pl.BlockSpec((1, 2, Gc), lambda b, j: (b, 0, j)),
+            pl.BlockSpec((1, 2, W), lambda b, j: (b, 0, j)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, S, C), x3.dtype),
-            jax.ShapeDtypeStruct((B, 2, G), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2, nC * W), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
     )(x3, sc2, bi2)
+    # canonical (B, 2, G) — fwd and bwd may pick DIFFERENT chunkings
+    # (n_big 2 vs 3), so the saved stats cannot carry the fwd's slot pad
+    st = st.reshape(B, 2, nC, W)[..., :Gc].reshape(B, 2, G)
     return y, st
 
 
@@ -168,11 +196,12 @@ def _bwd_kernel(x_ref, g_ref, sc_ref, bi_ref, st_ref,
                 S: int, Cg: int, act: str, R: int):
     b = pl.program_id(1)
     Cc = x_ref.shape[-1]
+    Gc = Cc // Cg
     M = _membership(Cc, Cg)
     nR = S // R
 
-    mean_c = _dot(st_ref[0, 0:1, :], M.T)                     # (1, Cc)
-    r_c = _dot(st_ref[0, 1:2, :], M.T)
+    mean_c = _dot(st_ref[0, 0:1, 0:Gc], M.T)                  # (1, Cc)
+    r_c = _dot(st_ref[0, 1:2, 0:Gc], M.T)
     sc = sc_ref[...].astype(jnp.float32)
 
     def dz_xhat(i):
@@ -231,6 +260,14 @@ def _bwd_call(x3, g3, scale, bias, st, G: int, act: str,
     sc2 = scale.astype(jnp.float32).reshape(1, C)
     bi2 = bias.astype(jnp.float32).reshape(1, C)
 
+    # re-slot the canonical (B, 2, G) stats to THIS chunking's padded
+    # lane layout (the bwd chunk may differ from the fwd's)
+    W = _slot(Gc)
+    st_in = st.reshape(B, 2, nC, Gc)
+    if W != Gc:
+        st_in = jnp.pad(st_in, ((0, 0), (0, 0), (0, 0), (0, W - Gc)))
+    st_in = st_in.reshape(B, 2, nC * W)
+
     dx, dsc, dbi = pl.pallas_call(
         functools.partial(_bwd_kernel, S=S, Cg=Cg, act=act, R=R),
         grid=(nC, B),
@@ -239,7 +276,7 @@ def _bwd_call(x3, g3, scale, bias, st, G: int, act: str,
             pl.BlockSpec((1, S, Cc), lambda j, b: (b, 0, j)),
             pl.BlockSpec((1, Cc), lambda j, b: (0, j)),
             pl.BlockSpec((1, Cc), lambda j, b: (0, j)),
-            pl.BlockSpec((1, 2, Gc), lambda j, b: (b, 0, j)),
+            pl.BlockSpec((1, 2, W), lambda j, b: (b, 0, j)),
         ],
         out_specs=[
             pl.BlockSpec((1, S, Cc), lambda j, b: (b, 0, j)),
@@ -255,7 +292,7 @@ def _bwd_call(x3, g3, scale, bias, st, G: int, act: str,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(x3, g3, sc2, bi2, st)
+    )(x3, g3, sc2, bi2, st_in)
     return dx, dsc.reshape(C), dbi.reshape(C)
 
 

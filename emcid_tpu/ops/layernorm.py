@@ -41,9 +41,16 @@ _BUDGET = 12 * 1024 * 1024
 
 def _pick_rows(S: int, C: int, itemsize: int, n_big: int) -> Optional[int]:
     """Row-chunk R | S with the n_big (R, C) blocks double-buffered in
-    VMEM; prefer larger chunks (fewer grid steps)."""
+    VMEM; prefer larger chunks (fewer grid steps).
+
+    Hardware conformance (measured on-chip, PERF.md round 4): the
+    second-to-last block dim must be a multiple of 8 sublanes or equal
+    the full array dim — non-conforming R is skipped and `fits()` falls
+    back to XLA when none exists."""
     best = None
     for r in range(min(S, 1024), 0, -1):
+        if r % 8 and r != S:
+            continue
         if S % r == 0 and r * C * itemsize * 2 * n_big <= _BUDGET:
             best = r
             break
@@ -89,14 +96,16 @@ def _bwd_kernel(x_ref, g_ref, sc_ref, bi_ref, dx_ref, dsc_ref, dbi_ref, *,
 
     # dγ/dβ accumulate into a PER-BATCH partial block, so only the
     # row-chunk dim (i) revisits state and the batch dim stays parallel
-    # (Megacore); XLA sums the B partials outside the kernel
+    # (Megacore); XLA sums the B partials outside the kernel.  The
+    # partials live as (B, 1, C) — a bare (B, C) block of (1, C) has a
+    # 1-sublane leading dim the TPU lowering rejects (PERF.md round 4)
     @pl.when(i == 0)
     def _():
         dsc_ref[...] = jnp.zeros_like(dsc_ref)
         dbi_ref[...] = jnp.zeros_like(dbi_ref)
 
-    dsc_ref[...] += jnp.sum(dz * xhat, axis=0, keepdims=True)
-    dbi_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
+    dsc_ref[0] += jnp.sum(dz * xhat, axis=0, keepdims=True)
+    dbi_ref[0] += jnp.sum(dz, axis=0, keepdims=True)
 
 
 def _fwd_call(x3, scale, bias, eps, act, interpret):
@@ -139,13 +148,13 @@ def _bwd_call(x3, g3, scale, bias, eps, act, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, R, C), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, C), lambda b, i: (b, 0)),
-            pl.BlockSpec((1, C), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, S, C), x3.dtype),
-            jax.ShapeDtypeStruct((B, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             # only the row-chunk dim revisits the per-batch dγ/dβ block
@@ -153,7 +162,7 @@ def _bwd_call(x3, g3, scale, bias, eps, act, interpret):
         ),
         interpret=interpret,
     )(x3, g3, sc2, bi2)
-    return dx, dsc.sum(axis=0), dbi.sum(axis=0)
+    return dx, dsc.reshape(B, C).sum(axis=0), dbi.reshape(B, C).sum(axis=0)
 
 
 def fits(shape: Tuple[int, ...], itemsize: int = 2) -> bool:

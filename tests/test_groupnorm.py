@@ -110,9 +110,37 @@ def test_bf16_error_bounded():
     assert np.max(np.abs(got - y64)) < 5e-2
 
 
+def test_chunk_choices_conform_to_tpu_lowering():
+    """Every chunk _pick_chunk returns is a 128-multiple or the full C —
+    the TPU lowering rejects anything else (measured on-chip, PERF.md
+    round 4; the CPU interpret mode accepts non-conforming blocks, which
+    is how the original chunker shipped a crash)."""
+    from emcid_tpu.ops.groupnorm import _pick_chunk
+
+    for S in (256, 1024, 2304, 4096):
+        for C in (320, 640, 960, 1280):
+            for n_big in (2, 3):
+                cc = _pick_chunk(S, C, 32, 2, n_big)
+                if cc is not None:
+                    assert cc == C or cc % 128 == 0, (S, C, n_big, cc)
+    # train_res-384 product shapes (48^2 tokens): full-C fits both passes
+    assert _pick_chunk(2304, 320, 32, 2, 2) == 320
+    assert _pick_chunk(2304, 320, 32, 2, 3) == 320
+    assert fits((24, 48, 48, 320), 32)
+    # the on-chip crash shape (512-res level-0 bwd): no conforming chunk
+    # fits VMEM -> clean XLA fallback instead of a lowering error
+    assert _pick_chunk(4096, 320, 32, 2, 3) is None
+    assert not fits((24, 64, 64, 320), 32)
+    # mid-res bwd picks the 128-multiple partial chunk
+    assert _pick_chunk(1024, 1280, 32, 2, 3) == 640
+
+
 def test_fits_rejects_oversized_slabs():
-    assert fits((24, 64, 64, 320), 32)
-    assert fits((24, 128, 128, 320), 32)          # SDXL level-0
+    # 512-res level-0: full-C bwd blocks exceed VMEM and Cg=10 admits no
+    # 128-multiple partial chunk -> XLA fallback (the pre-conformance
+    # chunker claimed these fit and crashed the on-chip lowering)
+    assert not fits((24, 64, 64, 320), 32)
+    assert not fits((24, 128, 128, 320), 32)      # SDXL level-0
     assert not fits((1, 512, 512, 512), 32, 2)    # VAE-decoder scale
     assert not fits((2, 8, 8, 30), 4)             # C % G != 0
 

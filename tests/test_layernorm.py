@@ -99,6 +99,24 @@ def test_dispatch_uses_reference_on_cpu():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
 
 
+def test_row_choices_conform_to_tpu_lowering():
+    """Row chunks must be 8-sublane multiples or the full S — the TPU
+    lowering rejects anything else (measured on-chip, PERF.md round 4);
+    the bwd dgamma/dbeta partials moved to (B, 1, C) for the same
+    reason (a (1, C) block of a (B, C) array has a 1-sublane leading
+    dim)."""
+    from emcid_tpu.ops.layernorm import _pick_rows
+
+    for S in (77, 256, 1024, 2304, 4096):
+        for C in (320, 640, 1280):
+            for n_big in (2, 3):
+                r = _pick_rows(S, C, 2, n_big)
+                if r is not None:
+                    assert r % 8 == 0 or r == S, (S, C, n_big, r)
+    assert _pick_rows(4096, 320, 2, 3) % 8 == 0  # on-chip failure shape
+    assert _pick_rows(77, 320, 2, 2) == 77       # odd S: whole-S block
+
+
 def test_fits():
     assert fits((24, 4096, 320))
     assert fits((24, 16384, 320))        # SDXL level-0 tokens
