@@ -58,8 +58,10 @@ def rung1():
     from emcid_tpu.ops.layernorm import ln_act_pallas, ln_act_reference
 
     rng = np.random.RandomState(0)
-    # LayerNorm at the transformer-block token shapes
-    for B, S, C in [(24, 4096, 320), (24, 1024, 640)]:
+    # LayerNorm at the transformer-block token shapes (512-res grids plus
+    # the train_res-384 product grids: 48^2=2304 / 24^2=576 tokens)
+    for B, S, C in [(24, 4096, 320), (24, 1024, 640),
+                    (24, 2304, 320), (24, 576, 640)]:
         x = jnp.asarray(rng.randn(B, S, C), jnp.bfloat16)
         sc = jnp.asarray(rng.randn(C), jnp.float32) * 0.2 + 1.0
         bi = jnp.asarray(rng.randn(C), jnp.float32) * 0.1
@@ -114,9 +116,13 @@ def rung1():
             except Exception as e:
                 print(f"({B},{S},{C}) LN parity FAILED "
                       f"{type(e).__name__}: {str(e)[:200]}", flush=True)
-    # (B, S, C): SD level-0..3 resnet norms + the 960-ch up-block concat
+    # (B, S, C): SD level-0..3 resnet norms + the 960-ch up-block concat,
+    # at 512-res grids and at the train_res-384 product grids (where the
+    # conformance-fixed kernels lower with full-C blocks)
     shapes = [(24, 4096, 320), (24, 4096, 640), (24, 1024, 1280),
-              (24, 4096, 960), (24, 256, 1280)]
+              (24, 4096, 960), (24, 256, 1280),
+              (24, 2304, 320), (24, 2304, 640), (24, 576, 640),
+              (24, 576, 1280)]
     for B, S, C in shapes:
         x = jnp.asarray(rng.randn(B, S, C), jnp.bfloat16)
         sc = jnp.asarray(rng.randn(C), jnp.float32) * 0.2 + 1.0
@@ -188,7 +194,9 @@ def _unet_setup():
     params = unet.init_params(jax.random.PRNGKey(0))
     rng = np.random.RandomState(1)
     B = 24
-    sample = jnp.asarray(rng.randn(B, 64, 64, 4), jnp.bfloat16)
+    # PROF_GN_LATENT=48 measures the train_res-384 product grid
+    hw = int(os.environ.get("PROF_GN_LATENT", "64"))
+    sample = jnp.asarray(rng.randn(B, hw, hw, 4), jnp.bfloat16)
     t = jnp.asarray(rng.randint(0, 1000, (B,)), jnp.int32)
     ctx = jnp.asarray(rng.randn(B, 77, 768), jnp.bfloat16)
     return unet, params, sample, t, ctx
