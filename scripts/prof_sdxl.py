@@ -193,7 +193,11 @@ def main():
     hp_sd = load_hparams(
         "dest_s-200_c-1.5_ly-7-11_lr-0.2_wd-5e-04_txt-align-0.01",
         hparams_dir="/root/reference/hparams")
-    hp_sd = dataclasses.replace(hp_sd, v_num_grad_steps=10)
+    # x-kv Stage-1 supports exactly the reference's two supervision modes
+    # (compute_z.py:2583-2605): esd with esd_mu, or sld_supervision — the
+    # text-encoder hparams' ablate-dest objective would raise
+    hp_sd = dataclasses.replace(hp_sd, v_num_grad_steps=10,
+                                objective="esd", esd_mu=1.0)
     mean_sd = rng.randn(1, 1, 3, 64, 64, 4).astype(np.float32) * 0.18
     logvar_sd = np.full(mean_sd.shape, -6.0, np.float32)
     cov = np.eye(768, dtype=np.float32)
