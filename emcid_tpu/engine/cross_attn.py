@@ -40,8 +40,10 @@ from emcid_tpu.models.pipeline import SDComponents, encode_prompts
 from emcid_tpu.models.scheduler import add_noise
 from emcid_tpu.models.unet import cross_attn_kv_layer_names
 from emcid_tpu.ops.solve import solve_adj_k, upd_matrix_match_shape
+from emcid_tpu.runtime import precise_matmuls
 
 
+@precise_matmuls
 def get_cross_attn_keys(
     components: SDComponents,
     requests: Sequence[Dict],
@@ -61,6 +63,7 @@ def get_cross_attn_keys(
     return keys, batch
 
 
+@precise_matmuls
 def layer_stats_cross_attn_kv(
     components: SDComponents,
     layer_name: str,
@@ -338,6 +341,7 @@ def compute_z_unet_x_kv(
     }
 
 
+@precise_matmuls
 def execute_emcid_cross_attn(
     components: SDComponents,
     requests: Sequence[Dict],
@@ -391,6 +395,7 @@ def execute_emcid_cross_attn(
     return deltas, components.replace_unet_params(new_params)
 
 
+@precise_matmuls
 def apply_emcid_to_cross_attn(
     components: SDComponents,
     requests: Sequence[Dict],

@@ -166,7 +166,13 @@ def _get_one_pass(model, layers: Tuple[int, ...], solve_method: str,
             jnp.stack(upds), jnp.stack(adjs), jnp.stack(resids), jnp.stack(z_errs)
         )
 
-    fn = jax.jit(one_pass) if solve_method == "f32_ir" else one_pass
+    # precise_matmuls: the insert's f32 closed-form math (K/resid dots,
+    # the fc2_in @ upd^T hidden-state patch) must not drop to the TPU's
+    # default bf16-rounded f32 matmul pass (runtime.precise_matmuls)
+    from emcid_tpu.runtime import precise_matmuls
+
+    fn = (jax.jit(precise_matmuls(one_pass)) if solve_method == "f32_ir"
+          else precise_matmuls(one_pass))
     _ONE_PASS_CACHE[key] = fn
     return fn
 

@@ -30,6 +30,7 @@ import numpy as np
 
 from emcid_tpu.models.pipeline import SDComponents, encode_prompts, generate
 from emcid_tpu.models.unet import cross_attn_kv_layer_names
+from emcid_tpu.runtime import precise_matmuls
 
 
 def unet_param_path(torch_name: str) -> Tuple[str, ...]:
@@ -108,6 +109,7 @@ def _aligned_context_rows(
 
 
 @jax.jit
+@precise_matmuls
 def _uce_solve_all(mat2, mat1_stack):
     """Shared UCE normal-equation solver: one Cholesky of mat2, batched
     cho_solve over stacked right-hand sides (W_new^T per projection).
@@ -119,6 +121,7 @@ def _uce_solve_all(mat2, mat1_stack):
     )(jnp.swapaxes(mat1_stack, -1, -2))
 
 
+@precise_matmuls
 def edit_model_uce(
     components: SDComponents,
     old_texts: Sequence[str],
@@ -205,6 +208,7 @@ def edit_model_uce(
     return components.replace_unet_params(new_params)
 
 
+@precise_matmuls
 def edit_text_encoder_uce(
     components: SDComponents,
     old_texts: Sequence[str],
@@ -332,6 +336,7 @@ def debias_ratios(
     return ratios
 
 
+@precise_matmuls
 def edit_model_debias(
     components: SDComponents,
     scorer,

@@ -35,6 +35,7 @@ from emcid_tpu.globals_cfg import UNET_EDIT_TEMPLATES
 from emcid_tpu.models.pipeline import SDComponents, _cached_jit, encode_prompts
 from emcid_tpu.models.scheduler import add_noise
 from emcid_tpu.ops.solve import solve_adj_k
+from emcid_tpu.runtime import precise_matmuls
 
 
 def _sched_key(schedule) -> tuple:
@@ -680,6 +681,7 @@ def _region_inputs_sweep(unet, schedule, ipath: Tuple[str, ...], leaf: str):
                         _sched_key(schedule), ipath, leaf), build)
 
 
+@precise_matmuls
 def _region_io(
     components: SDComponents,
     request: Dict,
@@ -785,6 +787,7 @@ def _region_io(
     return l_inputs, orig_pf, desired
 
 
+@precise_matmuls
 def execute_emcid_unet(
     components: SDComponents,
     requests: Sequence[Dict],

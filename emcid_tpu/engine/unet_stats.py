@@ -18,6 +18,7 @@ from emcid_tpu.engine.training_images import encode_posterior
 from emcid_tpu.models.pipeline import SDComponents, encode_prompts
 from emcid_tpu.models.scheduler import add_noise
 from emcid_tpu.stats import CombinedStat, SecondMoment, tally
+from emcid_tpu.runtime import precise_matmuls
 
 
 def unet_stats_filename(stats_dir, ds_name, layer_name, precision,
@@ -28,6 +29,7 @@ def unet_stats_filename(stats_dir, ds_name, layer_name, precision,
     )
 
 
+@precise_matmuls
 def layer_stats_unet(
     components: SDComponents,
     layer_name: str,

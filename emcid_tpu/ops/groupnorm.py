@@ -83,8 +83,16 @@ def _membership(cc: int, cg: int) -> jnp.ndarray:
 
 
 def _dot(a, b):
+    # Precision.HIGHEST is load-bearing: these tiny membership matmuls
+    # fold LARGE f32 per-channel sums into group statistics, and the
+    # MXU's default bf16-rounded passes cost ~0.4% relative on the sums —
+    # measured on-chip as a systematic dx bias (group dx-sums O(10^2-10^3)
+    # instead of ~0) while CPU interpret mode, which computes f32 exactly,
+    # passed (PERF.md round 4, prof_gn2).  The matmuls are (Cc, Gc)-sized;
+    # the 3-pass bf16x3 cost is negligible.
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _slot(gc: int) -> int:
@@ -246,6 +254,40 @@ def _bwd_kernel(x_ref, g_ref, sc_ref, bi_ref, st_ref,
     dbi_ref[...] += a1
 
 
+def _bwd_reference(x3, g3, scale, bias, st, G: int, act: str):
+    """jnp mirror of ``_bwd_kernel`` (same f32 math, consumes the
+    forward's saved per-group (mean, rstd)) — used when the backward
+    kernel has no VMEM-conforming chunk, so the fused FORWARD stays
+    usable at shapes like the 512-res level-0 (24, 4096, 320) where the
+    fwd fits (2 big blocks) but the bwd (3 blocks) does not."""
+    B, S, C = x3.shape
+    Cg = C // G
+    x = x3.astype(jnp.float32)
+    g = g3.astype(jnp.float32)
+    mean_c = jnp.repeat(st[:, 0, :], Cg, axis=-1)[:, None, :]   # (B,1,C)
+    r_c = jnp.repeat(st[:, 1, :], Cg, axis=-1)[:, None, :]
+    sc = scale.astype(jnp.float32).reshape(1, 1, C)
+    xhat = (x - mean_c) * r_c
+    if act == "silu":
+        z = xhat * sc + bias.astype(jnp.float32).reshape(1, 1, C)
+        sig = jax.nn.sigmoid(z)
+        dz = g * sig * (1.0 + z * (1.0 - sig))
+    else:
+        dz = g
+    dxhat = dz * sc
+    n = float(S * Cg)
+
+    def gmean(t):                                              # (B,1,C)
+        gsum = jnp.sum(t.reshape(B, S, G, Cg), axis=(1, 3)) / n
+        return jnp.repeat(gsum, Cg, axis=-1)[:, None, :]
+
+    dx = (r_c * (dxhat - gmean(dxhat) - xhat * gmean(dxhat * xhat))
+          ).astype(x3.dtype)
+    dsc = jnp.sum(dz * xhat, axis=(0, 1))
+    dbi = jnp.sum(dz, axis=(0, 1))
+    return dx, dsc, dbi
+
+
 def _bwd_call(x3, g3, scale, bias, st, G: int, act: str,
               interpret: bool):
     # no eps parameter: the backward never recomputes rstd — it reads the
@@ -253,7 +295,8 @@ def _bwd_call(x3, g3, scale, bias, st, G: int, act: str,
     B, S, C = x3.shape
     Cg = C // G
     Cc = _pick_chunk(S, C, G, x3.dtype.itemsize, n_big=3)
-    assert Cc is not None, "caller must check fits()"
+    if Cc is None:
+        return _bwd_reference(x3, g3, scale, bias, st, G, act)
     nC = C // Cc
     Gc = Cc // Cg
     R = _row_chunk(S)
@@ -303,15 +346,19 @@ def _bwd_call(x3, g3, scale, bias, st, G: int, act: str,
 
 def fits(shape: Tuple[int, ...], num_groups: int,
          itemsize: int = 2) -> bool:
-    """True when both kernels' VMEM chunking works for (..., C) ``shape``."""
+    """True when the fused FORWARD's VMEM chunking works for (..., C)
+    ``shape``.  The backward is not gated here: when its 3-big-block
+    chunking does not fit (e.g. 512-res level-0 (24, 4096, 320) bf16),
+    ``_bwd_call`` transparently falls back to the jnp mirror
+    ``_bwd_reference`` — so the fused forward's one-pass win is kept even
+    at shapes whose backward must go through XLA."""
     C = shape[-1]
     S = 1
     for d in shape[1:-1]:
         S *= d
     if C % num_groups:
         return False
-    return (_pick_chunk(S, C, num_groups, itemsize, 2) is not None
-            and _pick_chunk(S, C, num_groups, itemsize, 3) is not None)
+    return _pick_chunk(S, C, num_groups, itemsize, 2) is not None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

@@ -39,15 +39,21 @@ def _solve_f64_host(C: np.ndarray, K: np.ndarray, lam: float) -> np.ndarray:
 @partial(jax.jit, static_argnames=("refine_steps",))
 def _solve_f32_ir(C: jnp.ndarray, K: jnp.ndarray, lam: jnp.ndarray,
                   refine_steps: int = 2) -> jnp.ndarray:
-    C = C.astype(jnp.float32)
-    K = K.astype(jnp.float32)
-    A = lam * C + jnp.dot(K, K.T, preferred_element_type=jnp.float32)
-    L = jsl.cholesky(A, lower=True)
-    x = jsl.cho_solve((L, True), K)
-    for _ in range(refine_steps):
-        r = K - A @ x
-        x = x + jsl.cho_solve((L, True), r)
-    return x
+    # Precision pin: TPU's DEFAULT f32 matmul is one bf16-rounded MXU pass
+    # (~0.4% relative — measured on-chip, PERF.md round 4 prof_gn2), which
+    # would both perturb A and cap the iterative refinement at bf16 level
+    # (the residual K - A@x would itself be bf16-noisy).  CPU is exact
+    # either way, so the f64-parity tests cannot see this.
+    with jax.default_matmul_precision("highest"):
+        C = C.astype(jnp.float32)
+        K = K.astype(jnp.float32)
+        A = lam * C + jnp.dot(K, K.T, preferred_element_type=jnp.float32)
+        L = jsl.cholesky(A, lower=True)
+        x = jsl.cho_solve((L, True), K)
+        for _ in range(refine_steps):
+            r = K - A @ x
+            x = x + jsl.cho_solve((L, True), r)
+        return x
 
 
 def solve_adj_k(C, K, lam: float, method: str = "f32_ir",

@@ -64,6 +64,34 @@ def setup_compilation_cache() -> None:
         pass
 
 
+def precise_matmuls(fn):
+    """Run ``fn`` under ``jax.default_matmul_precision("highest")``.
+
+    TPU's DEFAULT handling of an f32 matmul is a single bf16-rounded MXU
+    pass (~0.4% relative error on the inputs).  For the bf16 model
+    forwards that is the intended arithmetic, but the framework's
+    closed-form math (covariance statistics, UCE factorizations, the
+    Stage-2 solve and inserts, region-edit pre-folds) is f32 linear
+    algebra whose reference counterpart runs at full f32/f64 on GPU —
+    measured on-chip, the default precision put a systematic O(0.4%)
+    bias on exactly these sum-of-products shapes while every CPU test
+    (exact f32 on CPU regardless of the setting) stayed green (PERF.md
+    round 4, prof_gn2).  Decorating the entry points pins full f32
+    fidelity on TPU; bf16-input matmuls are unaffected, and the cost is
+    negligible at closed-form sizes.
+    """
+    import functools
+
+    import jax
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def trace_env_knobs() -> tuple:
     """Values of every env knob that changes a *traced program* (kernel
     block sizes, fused-GN path, Stage-1 remat/chunking).  In-process

@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 import random
 import struct
+from contextlib import nullcontext as _nullcontext
 from typing import Any, Dict, Iterable, Iterator, Optional, Sequence
 
 import numpy as np
@@ -257,18 +258,22 @@ class Covariance(Stat):
         self.data_shape, a = _normalize_add_shape(self.data_shape, a)
         if a.shape[0] == 0:
             return
-        batch_count = a.shape[0]
-        if self._mean is None:
-            self.count = batch_count
-            self._mean = a.sum(0) / batch_count
-            centered = a - self._mean
-            self.cmom2 = centered.T @ centered
-            return
-        self.count += batch_count
-        delta = a - self._mean
-        self._mean = self._mean + delta.sum(0) / self.count
-        delta2 = a - self._mean
-        self.cmom2 = self.cmom2 + delta.T @ delta2
+        # full-f32 matmul precision on TPU (see _mom2_accumulate); no-op
+        # for numpy inputs and on CPU backends
+        with (jax.default_matmul_precision("highest") if _HAVE_JAX
+              else _nullcontext()):
+            batch_count = a.shape[0]
+            if self._mean is None:
+                self.count = batch_count
+                self._mean = a.sum(0) / batch_count
+                centered = a - self._mean
+                self.cmom2 = centered.T @ centered
+                return
+            self.count += batch_count
+            delta = a - self._mean
+            self._mean = self._mean + delta.sum(0) / self.count
+            delta2 = a - self._mean
+            self.cmom2 = self.cmom2 + delta.T @ delta2
 
     def mean(self):
         return _restore_result_shape(self.data_shape, self._mean)
@@ -318,9 +323,17 @@ if _HAVE_JAX:
 
     @jax.jit
     def _mom2_accumulate(mom2, a):
-        """One fused MXU accumulate: mom2 + a^T a in float32."""
-        a32 = a.astype(jnp.float32)
-        return mom2 + jnp.dot(a32.T, a32, preferred_element_type=jnp.float32)
+        """One fused MXU accumulate: mom2 + a^T a in float32.
+
+        Precision pin: the TPU MXU's DEFAULT handling of f32 matmul inputs
+        is a single bf16-rounded pass (~0.4% relative) — measured on-chip
+        as a systematic bias in exactly this sum-of-products shape (PERF.md
+        round 4, prof_gn2); CPU runs are exact either way.  The statistic
+        feeds the closed-form solve, so it gets full f32 fidelity."""
+        with jax.default_matmul_precision("highest"):
+            a32 = a.astype(jnp.float32)
+            return mom2 + jnp.dot(a32.T, a32,
+                                  preferred_element_type=jnp.float32)
 
 
 class SecondMoment(Stat):

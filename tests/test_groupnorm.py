@@ -127,22 +127,58 @@ def test_chunk_choices_conform_to_tpu_lowering():
     assert _pick_chunk(2304, 320, 32, 2, 2) == 320
     assert _pick_chunk(2304, 320, 32, 2, 3) == 320
     assert fits((24, 48, 48, 320), 32)
-    # the on-chip crash shape (512-res level-0 bwd): no conforming chunk
-    # fits VMEM -> clean XLA fallback instead of a lowering error
+    # the on-chip crash shape (512-res level-0): the bwd has no conforming
+    # chunk (custom-vjp backward takes _bwd_reference) but the fwd still
+    # runs fused — fits() gates on the forward only
     assert _pick_chunk(4096, 320, 32, 2, 3) is None
-    assert not fits((24, 64, 64, 320), 32)
+    assert _pick_chunk(4096, 320, 32, 2, 2) == 320
+    assert fits((24, 64, 64, 320), 32)
     # mid-res bwd picks the 128-multiple partial chunk
     assert _pick_chunk(1024, 1280, 32, 2, 3) == 640
 
 
 def test_fits_rejects_oversized_slabs():
-    # 512-res level-0: full-C bwd blocks exceed VMEM and Cg=10 admits no
-    # 128-multiple partial chunk -> XLA fallback (the pre-conformance
-    # chunker claimed these fit and crashed the on-chip lowering)
-    assert not fits((24, 64, 64, 320), 32)
+    # shapes whose FORWARD blocks exceed VMEM at any conforming chunk ->
+    # whole-op XLA fallback (the pre-conformance chunker claimed these
+    # fit and crashed the on-chip lowering)
     assert not fits((24, 128, 128, 320), 32)      # SDXL level-0
     assert not fits((1, 512, 512, 512), 32, 2)    # VAE-decoder scale
     assert not fits((2, 8, 8, 30), 4)             # C % G != 0
+    # 512-res level-0: fwd fits (2 big blocks, 10.5 MB), bwd does not
+    # (3 blocks, 15.7 MB) -> fused fwd + _bwd_reference backward
+    assert fits((24, 64, 64, 320), 32)
+
+
+def test_bwd_reference_fallback_parity(monkeypatch):
+    """When the bwd kernel has no conforming chunk, the custom-vjp
+    backward must produce the same gradients through _bwd_reference.
+
+    Engineered at a tiny f32 shape by shrinking _BUDGET so the fwd's
+    2-big-block chunking fits (64 KiB) but the bwd's 3-block one (96 KiB)
+    does not — same fit split as the real (24, 4096, 320) bf16 case."""
+    import emcid_tpu.ops.groupnorm as gnmod
+
+    monkeypatch.setattr(gnmod, "_BUDGET", 80000)
+    shape, groups = (2, 8, 8, 64), 16
+    x, scale, bias = _inputs(shape, seed=11)
+    assert gnmod.fits(shape, groups, x.dtype.itemsize)
+    assert gnmod._pick_chunk(64, 64, groups, x.dtype.itemsize, 3) is None
+
+    w = jax.random.normal(jax.random.PRNGKey(12), shape)
+
+    def loss_pallas(x, s, b):
+        return jnp.sum(gn_act_pallas(x, s, b, groups, 1e-5, "silu", True)
+                       * w)
+
+    def loss_ref(x, s, b):
+        return jnp.sum(gn_act_reference(x, s, b, num_groups=groups,
+                                        eps=1e-5, act="silu") * w)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, scale, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_, nm in zip(gp, gr, ["dx", "dscale", "dbias"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=2e-4, err_msg=nm)
 
 
 def test_dispatch_uses_reference_on_cpu():
