@@ -23,6 +23,7 @@ from emcid_tpu.models.vision import (
     ViTConfig,
     preprocess_for_model,
 )
+from emcid_tpu.runtime import precise_matmuls
 
 
 @dataclass
@@ -35,6 +36,7 @@ class ViTScorer:
                                  VIT_IMAGE_MEAN, VIT_IMAGE_STD)
 
         @jax.jit
+        @precise_matmuls  # exact-f32 scorer parity (PERF.md r4)
         def run(params, x):
             return jax.nn.softmax(
                 self.model.apply({"params": params}, x).astype(jnp.float32),

@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from emcid_tpu.runtime import precise_matmuls
 
 
 @dataclass(frozen=True)
@@ -303,9 +304,9 @@ class NativeBlipScorer:
         self.params = params
         self.tokenizer = tokenizer
         self.prefix = prefix
-        self._jit = jax.jit(
+        self._jit = jax.jit(precise_matmuls(
             lambda p, px, ids, m: jax.nn.softmax(
-                model.apply({"params": p}, px, ids, m), axis=-1)[:, 1])
+                model.apply({"params": p}, px, ids, m), axis=-1)[:, 1]))
 
     def itm_score(self, images, texts: Sequence[str]) -> np.ndarray:
         from emcid_tpu.models.vision import (

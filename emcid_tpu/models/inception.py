@@ -26,6 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from emcid_tpu.runtime import precise_matmuls
 
 FID_DIMS = 2048
 
@@ -301,7 +302,11 @@ def fid_features(model: InceptionV3Features, params, images,
     a fixed program shape (pytorch-fid's get_activations,
     reference test_fid_score.py usage)."""
 
+    # precise_matmuls: reference FID features are exact-f32 torch
+    # (test_fid_score.py); TPU default bf16-rounded f32 convs would shift
+    # pool3 activations ~0.4% (PERF.md round 4, precision pins)
     @jax.jit
+    @precise_matmuls
     def run(p, x):
         return model.apply({"params": p}, x)
 

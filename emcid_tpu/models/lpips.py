@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from emcid_tpu.runtime import precise_matmuls
 
 # ImageNet normalization the lpips package bakes in (shift/scale in [-1,1])
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
@@ -115,6 +116,7 @@ class LPIPSScorer:
         )
 
         @jax.jit
+        @precise_matmuls  # exact-f32 parity with torch lpips (PERF.md r4)
         def run(params, a, b):
             return self.model.apply({"params": params}, a, b)
 

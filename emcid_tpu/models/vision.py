@@ -19,6 +19,7 @@ from flax import linen as nn
 
 from emcid_tpu.models.clip_text import CLIPEncoderLayer, CLIPTextEncoder
 from emcid_tpu.models.configs import CLIPTextConfig
+from emcid_tpu.runtime import precise_matmuls
 
 # ---------------------------------------------------------------------------
 # preprocessing
@@ -282,12 +283,14 @@ class CLIPScorer(NamedTuple):
     tokenizer: Any
     logit_scale: float = 100.0  # exp(4.6052), the trained CLIP value
 
+    @precise_matmuls  # exact-f32 scorer parity (PERF.md r4)
     def image_embeds(self, images) -> jnp.ndarray:
         x = preprocess_for_model(images, self.vision_model.config.image_size,
                                  CLIP_IMAGE_MEAN, CLIP_IMAGE_STD)
         emb = self.vision_model.apply({"params": self.vision_params}, x)
         return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
 
+    @precise_matmuls  # exact-f32 scorer parity (PERF.md r4)
     def text_embeds(self, texts) -> jnp.ndarray:
         enc = self.tokenizer(list(texts))
         out = self.text_model.apply(
