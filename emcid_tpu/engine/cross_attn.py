@@ -40,10 +40,9 @@ from emcid_tpu.models.pipeline import SDComponents, encode_prompts
 from emcid_tpu.models.scheduler import add_noise
 from emcid_tpu.models.unet import cross_attn_kv_layer_names
 from emcid_tpu.ops.solve import solve_adj_k, upd_matrix_match_shape
-from emcid_tpu.runtime import precise_matmuls
+from emcid_tpu.runtime import pdot
 
 
-@precise_matmuls
 def get_cross_attn_keys(
     components: SDComponents,
     requests: Sequence[Dict],
@@ -63,7 +62,6 @@ def get_cross_attn_keys(
     return keys, batch
 
 
-@precise_matmuls
 def layer_stats_cross_attn_kv(
     components: SDComponents,
     layer_name: str,
@@ -198,8 +196,8 @@ def compute_z_unet_x_kv(
         tok_mask = shard_batch(tok_mask, mesh)
 
     z0 = {
-        name: keys[0] @ get_unet_weight(components.unet_params, name
-                                        ).astype(jnp.float32).T
+        name: pdot(keys[0], get_unet_weight(components.unet_params, name
+                                            ).astype(jnp.float32).T)
         for name in kv_names
     }
     out_dims = {name: int(z0[name].shape[-1]) for name in kv_names}
@@ -341,7 +339,6 @@ def compute_z_unet_x_kv(
     }
 
 
-@precise_matmuls
 def execute_emcid_cross_attn(
     components: SDComponents,
     requests: Sequence[Dict],
@@ -381,10 +378,11 @@ def execute_emcid_cross_attn(
             )
         adj_k = adj_cache[ck]
         w = get_unet_weight(components.unet_params, name).astype(jnp.float32)
-        cur_z = (keys.reshape(-1, keys.shape[-1]) @ w.T).T  # (out, N)
+        # f32 closed-form dots pinned per-site (runtime.pdot, ADVICE r4)
+        cur_z = pdot(keys.reshape(-1, keys.shape[-1]), w.T).T  # (out, N)
         zs = jnp.asarray(zs_dict[name]).reshape(-1, w.shape[0]).T
         sources = (zs.astype(jnp.float32) - cur_z) * k_scale
-        upd = sources @ adj_k.T
+        upd = pdot(sources, adj_k.T)
         upd = upd_matrix_match_shape(upd, w.shape)
         new_params = set_unet_weight(new_params, name, w + upd)
         deltas[f"{name}.weight"] = (np.asarray(adj_k), np.asarray(sources))
@@ -395,7 +393,6 @@ def execute_emcid_cross_attn(
     return deltas, components.replace_unet_params(new_params)
 
 
-@precise_matmuls
 def apply_emcid_to_cross_attn(
     components: SDComponents,
     requests: Sequence[Dict],

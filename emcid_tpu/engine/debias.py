@@ -24,7 +24,6 @@ import numpy as np
 from emcid_tpu.engine.emcid import execute_emcid_text_encoder
 from emcid_tpu.models.pipeline import SDComponents, generate
 from emcid_tpu.models.vision import CLIPScorer
-from emcid_tpu.runtime import precise_matmuls
 
 
 def classify_ratio(
@@ -38,7 +37,6 @@ def classify_ratio(
     return [float((winners == i).mean()) for i in range(len(dests))]
 
 
-@precise_matmuls
 def get_factors(
     components: SDComponents,
     scorer: CLIPScorer,
@@ -117,7 +115,6 @@ def _factor_search(components, hparams, separate_zs, separate_requests,
     return factors
 
 
-@precise_matmuls
 def get_factors_v0(
     components: SDComponents,
     scorer: CLIPScorer,
@@ -185,7 +182,6 @@ def get_factors_v0(
         measure, verbose)
 
 
-@precise_matmuls
 def get_factors_repr(
     components: SDComponents,
     hparams,
@@ -254,7 +250,6 @@ def get_factors_repr(
     return factors
 
 
-@precise_matmuls
 def apply_emcid_to_text_encoder_debias(
     components: SDComponents,
     requests: Sequence[Dict],

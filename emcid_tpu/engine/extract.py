@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from emcid_tpu.text.token_range import find_token_range
-from emcid_tpu.runtime import precise_matmuls
 
 
 @dataclass
@@ -120,10 +119,14 @@ def gather_at_tokens(acts: jnp.ndarray, lookup_indices: jnp.ndarray) -> jnp.ndar
     return acts[jnp.arange(P)[:, None], lookup_indices]
 
 
-@precise_matmuls
 def per_request_mean(x: jnp.ndarray, seg_matrix: jnp.ndarray) -> jnp.ndarray:
-    """(P, T, D), (R, P) → (R, T, D) prompt-mean per request (one matmul)."""
-    return jnp.einsum("rp,ptd->rtd", seg_matrix, x)
+    """(P, T, D), (R, P) → (R, T, D) prompt-mean per request (one matmul).
+
+    precision pinned at the einsum itself (not a context decorator) so
+    callers' jitted model programs keep their default trace context
+    (runtime.pdot scope rule, ADVICE r4)."""
+    return jnp.einsum("rp,ptd->rtd", seg_matrix, x,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def module_io_at_words(
@@ -159,7 +162,6 @@ def module_io_at_words(
     return run(params)
 
 
-@precise_matmuls
 def compute_ks_text_encoder(model, params, tokenizer, requests, hparams,
                             layer: int) -> jnp.ndarray:
     """Stage-2 keys (reference compute_ks.py:21-41): fc2 *inputs* at the fact

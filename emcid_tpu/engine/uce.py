@@ -30,7 +30,7 @@ import numpy as np
 
 from emcid_tpu.models.pipeline import SDComponents, encode_prompts, generate
 from emcid_tpu.models.unet import cross_attn_kv_layer_names
-from emcid_tpu.runtime import precise_matmuls
+from emcid_tpu.runtime import pdot, precise_matmuls
 
 
 def unet_param_path(torch_name: str) -> Tuple[str, ...]:
@@ -121,7 +121,6 @@ def _uce_solve_all(mat2, mat1_stack):
     )(jnp.swapaxes(mat1_stack, -1, -2))
 
 
-@precise_matmuls
 def edit_model_uce(
     components: SDComponents,
     old_texts: Sequence[str],
@@ -164,23 +163,23 @@ def edit_model_uce(
 
     for old_text, new_text in zip(old_texts, new_texts):
         c, new_rows = _aligned_context_rows(components, old_text, new_text)
-        mat2 = mat2 + erase_scale * c.T @ c
+        mat2 = mat2 + erase_scale * pdot(c.T, c)
         for n, w in weights.items():
-            new_v = new_rows @ w.T  # (rows, out)
+            new_v = pdot(new_rows, w.T)  # (rows, out)
             if technique == "tensor":
-                o = (c @ w.T).reshape(-1)
+                o = pdot(c, w.T).reshape(-1)
                 u = o / jnp.linalg.norm(o)
                 proj = jnp.sum(u * new_v.reshape(-1))
                 v = (new_v.reshape(-1) - proj * u).reshape(new_v.shape)
             else:  # "replace"
                 v = new_v
-            mat1[n] = mat1[n] + erase_scale * v.T @ c
+            mat1[n] = mat1[n] + erase_scale * pdot(v.T, c)
 
     if mom2_cov is not None:
         C = jnp.asarray(mom2_cov, jnp.float32)
         mat2 = mat2 + preserve_scale * mom2_lamb2 * C
         for n, w in weights.items():
-            mat1[n] = mat1[n] + preserve_scale * mom2_lamb2 * w @ C
+            mat1[n] = mat1[n] + preserve_scale * mom2_lamb2 * pdot(w, C)
     else:
         if retain_texts is None:
             # the reference ALWAYS preserves the empty prompt when no
@@ -189,10 +188,10 @@ def edit_model_uce(
             retain_texts = [""]
         for text in retain_texts:
             enc_rows = encode_prompts(components, [text])[0].astype(jnp.float32)
-            mat2 = mat2 + preserve_scale * enc_rows.T @ enc_rows
+            mat2 = mat2 + preserve_scale * pdot(enc_rows.T, enc_rows)
             for n, w in weights.items():
-                v = enc_rows @ w.T
-                mat1[n] = mat1[n] + preserve_scale * v.T @ enc_rows
+                v = pdot(enc_rows, w.T)
+                mat1[n] = mat1[n] + preserve_scale * pdot(v.T, enc_rows)
 
     # group projections by out-dim so stacks are rectangular
     # (one factorization serves every projection: _uce_solve_all)
@@ -208,7 +207,6 @@ def edit_model_uce(
     return components.replace_unet_params(new_params)
 
 
-@precise_matmuls
 def edit_text_encoder_uce(
     components: SDComponents,
     old_texts: Sequence[str],
@@ -250,9 +248,9 @@ def edit_text_encoder_uce(
             far = max(fi_old, fi_new)
             c = fc2_in[0, fi_old: S - max(0, far - fi_old)]
             k_new = fc2_in[1, fi_new: S - max(0, far - fi_new)]
-            v = k_new @ w.T
-            mat1 = mat1 + erase_scale * v.T @ c
-            mat2 = mat2 + erase_scale * c.T @ c
+            v = pdot(k_new, w.T)
+            mat1 = mat1 + erase_scale * pdot(v.T, c)
+            mat2 = mat2 + erase_scale * pdot(c.T, c)
         # reference uce_train.py:61 defaults ret_texts=[''] and its
         # preserve loop (:177) runs unconditionally — the empty prompt is
         # ALWAYS preserved when no retain texts are given
@@ -264,10 +262,13 @@ def edit_text_encoder_uce(
                 capture=("fc2_in",), stop_at_layer=layer,
             )
             c = out.taps["fc2_in"][layer][0].astype(jnp.float32)
-            v = c @ w.T
-            mat1 = mat1 + preserve_scale * v.T @ c
-            mat2 = mat2 + preserve_scale * c.T @ c
-        w_new = jnp.linalg.solve(mat2.T, mat1.T).T
+            v = pdot(c, w.T)
+            mat1 = mat1 + preserve_scale * pdot(v.T, c)
+            mat2 = mat2 + preserve_scale * pdot(c.T, c)
+        with jax.default_matmul_precision("highest"):
+            # eager-only block: no jitted program runs under this context,
+            # so no trace-context duplication (ADVICE r4)
+            w_new = jnp.linalg.solve(mat2.T, mat1.T).T
         new_params = set_weight(new_params, mod_name, w_new)
     return components.replace_text_params(new_params)
 
@@ -336,7 +337,6 @@ def debias_ratios(
     return ratios
 
 
-@precise_matmuls
 def edit_model_debias(
     components: SDComponents,
     scorer,
@@ -449,22 +449,22 @@ def edit_model_debias(
         mat1 = {n: lamb * w for n, w in cur.items()}
         mat2 = lamb * jnp.eye(ctx_dim, dtype=jnp.float32)
         for cnt, (c, class_rows) in enumerate(concept_rows):
-            mat2 = mat2 + erase_scale * c.T @ c
+            mat2 = mat2 + erase_scale * pdot(c.T, c)
             for n, w in cur.items():
-                o = c @ w.T  # (rows, out)
+                o = pdot(c, w.T)  # (rows, out)
                 o_norm = jnp.linalg.norm(o)
                 v = o
                 for j, u_rows in enumerate(class_rows):
-                    u = u_rows @ w.T
+                    u = pdot(u_rows, w.T)
                     u = u / jnp.linalg.norm(u)
                     v = v + (float(weights[cnt][j]) * o_norm) * u
-                mat1[n] = mat1[n] + erase_scale * v.T @ c
+                mat1[n] = mat1[n] + erase_scale * pdot(v.T, c)
         for text in ret_texts:
             rows = rows_for(text)
-            mat2 = mat2 + preserve_scale * rows.T @ rows
+            mat2 = mat2 + preserve_scale * pdot(rows.T, rows)
             for n, w in cur.items():
-                v = rows @ w.T
-                mat1[n] = mat1[n] + preserve_scale * v.T @ rows
+                v = pdot(rows, w.T)
+                mat1[n] = mat1[n] + preserve_scale * pdot(v.T, rows)
 
         new_params = params
         by_dim: Dict[int, List[str]] = {}

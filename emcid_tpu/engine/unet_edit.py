@@ -35,7 +35,6 @@ from emcid_tpu.globals_cfg import UNET_EDIT_TEMPLATES
 from emcid_tpu.models.pipeline import SDComponents, _cached_jit, encode_prompts
 from emcid_tpu.models.scheduler import add_noise
 from emcid_tpu.ops.solve import solve_adj_k
-from emcid_tpu.runtime import precise_matmuls
 
 
 def _sched_key(schedule) -> tuple:
@@ -173,6 +172,9 @@ def pre_fold_output_delta(output_delta: jnp.ndarray, ksz: int) -> jnp.ndarray:
         output_delta / (ksz**2), (ksz, ksz), (1, 1),
         [(ksz // 2, ksz // 2)] * 2,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        # f32-exact: the patch conv must not bf16-round the delta values
+        # on TPU (pin per-site, not per-entry-point — ADVICE r4)
+        precision=jax.lax.Precision.HIGHEST,
     )  # (B, H, W, C*ksz*ksz) ordered (c, kh, kw)
     p = patches.reshape(B, H, W, C, ksz, ksz)
     p = jnp.rot90(p, 2, axes=(4, 5))
@@ -681,7 +683,6 @@ def _region_inputs_sweep(unet, schedule, ipath: Tuple[str, ...], leaf: str):
                         _sched_key(schedule), ipath, leaf), build)
 
 
-@precise_matmuls
 def _region_io(
     components: SDComponents,
     request: Dict,
@@ -787,7 +788,6 @@ def _region_io(
     return l_inputs, orig_pf, desired
 
 
-@precise_matmuls
 def execute_emcid_unet(
     components: SDComponents,
     requests: Sequence[Dict],

@@ -18,7 +18,6 @@ from emcid_tpu.engine.training_images import encode_posterior
 from emcid_tpu.models.pipeline import SDComponents, encode_prompts
 from emcid_tpu.models.scheduler import add_noise
 from emcid_tpu.stats import CombinedStat, SecondMoment, tally
-from emcid_tpu.runtime import precise_matmuls
 
 
 def unet_stats_filename(stats_dir, ds_name, layer_name, precision,
@@ -29,7 +28,6 @@ def unet_stats_filename(stats_dir, ds_name, layer_name, precision,
     )
 
 
-@precise_matmuls
 def layer_stats_unet(
     components: SDComponents,
     layer_name: str,
@@ -93,9 +91,13 @@ def layer_stats_unet(
                 feats = feats.reshape(-1, feats.shape[-1])
             else:
                 feats = feats.reshape(-1, feats.shape[-1])
-            return carry + jnp.dot(feats.T.astype(jnp.float32),
-                                   feats.astype(jnp.float32),
-                                   preferred_element_type=jnp.float32), feats.shape[0]
+            # precision pinned at the dot (not a context decorator around
+            # this whole function: the UNet forward above must keep its
+            # default trace context — runtime.pdot scope rule, ADVICE r4)
+            return carry + jnp.dot(
+                feats.T.astype(jnp.float32), feats.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST), feats.shape[0]
 
         total = None
         count = 0

@@ -89,7 +89,8 @@ def _dot(a, b):
     # measured on-chip as a systematic dx bias (group dx-sums O(10^2-10^3)
     # instead of ~0) while CPU interpret mode, which computes f32 exactly,
     # passed (PERF.md round 4, prof_gn2).  The matmuls are (Cc, Gc)-sized;
-    # the 3-pass bf16x3 cost is negligible.
+    # the 6-pass bf16x6 cost of HIGHEST is negligible (bf16x3 would be
+    # Precision.HIGH, the tensorfloat-like tier — ADVICE r4).
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)

@@ -76,9 +76,17 @@ def precise_matmuls(fn):
     measured on-chip, the default precision put a systematic O(0.4%)
     bias on exactly these sum-of-products shapes while every CPU test
     (exact f32 on CPU regardless of the setting) stayed green (PERF.md
-    round 4, prof_gn2).  Decorating the entry points pins full f32
-    fidelity on TPU; bf16-input matmuls are unaffected, and the cost is
-    negligible at closed-form sizes.
+    round 4, prof_gn2).  bf16-input matmuls are unaffected, and the cost
+    is negligible at closed-form sizes.
+
+    SCOPE RULE (ADVICE r4): apply this only to the closed-form jitted
+    programs themselves (``jax.jit(precise_matmuls(fn))`` so the context
+    is entered during trace and the caller-side trace context stays
+    default) or to pure-eager math.  Do NOT decorate high-level entry
+    points that call cached jitted model programs (sampler, UNet/CLIP
+    forwards): the context becomes part of those programs' jit cache key,
+    so the same bf16 program compiles twice (pinned + unpinned callers).
+    For individual dots inside mixed functions use :func:`pdot`.
     """
     import functools
 
@@ -90,6 +98,24 @@ def precise_matmuls(fn):
             return fn(*args, **kwargs)
 
     return wrapped
+
+
+def pdot(a, b):
+    """f32-exact matmul for closed-form math: one dot pinned to
+    ``Precision.HIGHEST`` (the 6-pass bf16x6 decomposition on TPU).
+
+    Use this at individual dot sites inside high-level functions that ALSO
+    call big bf16 model programs (sampler, UNet/text-encoder forwards).
+    Wrapping such functions in :func:`precise_matmuls` would put every
+    cached jitted program they reach under a second trace context — the
+    same program compiles once per context (~2-5 min each on the tunneled
+    TPU) and persists as duplicate compilation-cache entries (ADVICE r4).
+    An explicit ``precision=`` on the dot carries no trace-context at all.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 def trace_env_knobs() -> tuple:
