@@ -429,6 +429,37 @@ def cmd_plots(args):
     print(f"figure written to {args.out}")
 
 
+def cmd_certify_levers(args):
+    """One-command real-weight lever certification (VERDICT r4 next #2;
+    RUNBOOK step 2b): converter goldens (optional) + every guarded
+    deviation's pre-registered KEEP/RESTORE decision rule against this
+    checkpoint's own Stage-1 z deltas and MC noise floor."""
+    from pathlib import Path
+
+    comps, hparams, gen_kwargs, mesh = _setup(args)
+    if args.goldens:
+        from emcid_tpu.cli.validate import validate_against_goldens
+
+        validate_against_goldens(comps, args.goldens)
+    from emcid_tpu.evals.lever_cert import certify_levers, default_requests
+
+    if args.tiny:
+        # tiny tokenizer vocabulary (models/loader.py build_tiny_pipeline)
+        pairs = [("cat", "dog"), ("w0", "w1"), ("w2", "w3"),
+                 ("w4", "w5"), ("w6", "w7"), ("w8", "w9")]
+        requests = [
+            {"prompts": ["a photo of {}", "an image of a {}", "{}"],
+             "source": s, "dest": d, "seed_train": i}
+            for i, (s, d) in enumerate(pairs[: args.n_concepts])
+        ]
+    else:
+        requests = default_requests(args.n_concepts)
+    out = Path(args.results_dir or "results") / "lever_cert.json"
+    certify_levers(comps, hparams, requests=requests,
+                   num_inference_steps=gen_kwargs["num_inference_steps"],
+                   out_path=str(out))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -470,6 +501,13 @@ def main(argv=None):
                    help="write a self-goldens npz instead of validating")
     p.add_argument("--f32", action="store_true",
                    help="load the checkpoint in float32 (tight tolerances)")
+
+    p = sub.add_parser("certify_levers")
+    _add_common(p)
+    p.add_argument("--goldens", default=None,
+                   help="also run the converter goldens first (npz from "
+                   "scripts/make_goldens_torch.py)")
+    p.add_argument("--n_concepts", type=int, default=4)
 
     p = sub.add_parser("validate_openclip")
     p.add_argument("--checkpoint", required=True,
@@ -560,6 +598,8 @@ def main(argv=None):
         from emcid_tpu.cli.validate import cmd_validate
 
         cmd_validate(args)
+    elif args.cmd == "certify_levers":
+        cmd_certify_levers(args)
     elif args.cmd == "coco":
         cmd_coco(args)
     elif args.cmd == "i2p":

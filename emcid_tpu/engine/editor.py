@@ -480,6 +480,7 @@ def apply_emcid(
     z_sched: Optional[str] = None,
     cfg_interval: Optional[float] = None,
     train_res: Optional[int] = None,
+    rng_seed: int = 0,
     verbose: bool = True,
 ) -> Tuple[SDComponents, Dict]:
     """Full two-stage edit of a pipeline's text encoder.
@@ -510,7 +511,8 @@ def apply_emcid(
         fim=fim, mesh=mesh, clip_align=clip_align,
         train_sampler=train_sampler, train_steps=train_steps,
         eps_dest_pool=eps_dest_pool, z_sched=z_sched,
-        cfg_interval=cfg_interval, train_res=train_res, verbose=verbose,
+        cfg_interval=cfg_interval, train_res=train_res, rng_seed=rng_seed,
+        verbose=verbose,
     )
     deltas, new_text_params = execute_emcid_text_encoder(
         components.text_encoder, components.text_params,
