@@ -475,6 +475,7 @@ def apply_emcid_to_sdxl_text_encoders(
     height: int = 1024,
     width: int = 1024,
     mesh=None,
+    rng_seed: int = 0,
     verbose: bool = True,
 ):
     """Stage-1 (with the reference's two-file v_star npz caching) + Stage-2
@@ -520,8 +521,9 @@ def apply_emcid_to_sdxl_text_encoders(
                 lm = np.concatenate([lm, np.repeat(lm[-1:], pad, axis=0)])
                 lv = np.concatenate([lv, np.repeat(lv[-1:], pad, axis=0)])
         z1, z2 = compute_z_sdxl_text_encoders(
-            components, block, hparams, lm, lv, height=height, width=width,
-            mesh=mesh, verbose=verbose,
+            components, block, hparams, lm, lv,
+            rng=jax.random.PRNGKey(rng_seed),
+            height=height, width=width, mesh=mesh, verbose=verbose,
         )
         for k, i in enumerate(missing):
             zs_1[i], zs_2[i] = z1[k], z2[k]
