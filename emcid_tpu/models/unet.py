@@ -75,13 +75,18 @@ def _tag(x: jnp.ndarray, on: bool) -> jnp.ndarray:
     return checkpoint_name(x, "unet_interior")
 
 
-def _fused_gn() -> bool:
+def _fused_gn() -> str:
     """Opt-in for the fused GroupNorm(+SiLU) Pallas path (ops/groupnorm.py).
-    Read at trace time; default off — the stock nn.GroupNorm lowering stays
-    byte-identical until the on-chip A/B (scripts/prof_gn.py) justifies it."""
+    Read at trace time; default "0" (off) — the stock nn.GroupNorm lowering
+    stays byte-identical until the on-chip A/B justifies a flip.
+    "1" fuses every fitting site; "geo" fuses only geometries on the
+    measured win frontier (ops.groupnorm.geo_wins) — fewer Pallas sites
+    per program, sized to dodge the remote-compiler ceiling that blocked
+    the all-sites A/B (PERF.md round-4/5)."""
     import os
 
-    return os.environ.get("EMCID_TPU_FUSED_GN", "0") == "1"
+    v = os.environ.get("EMCID_TPU_FUSED_GN", "0")
+    return v if v in ("0", "1", "geo") else "0"
 
 
 class _GNParams(nn.Module):
@@ -127,13 +132,16 @@ def _ln(x, *, dtype, name: str, tag: bool = False):
 def _gn_act(x, *, groups: int, eps: float, dtype, name: str,
             act: str = "none", tag: bool = False):
     """GroupNorm followed by an optional SiLU.  Stock flax path by default;
-    one fused Pallas kernel (ops/groupnorm.py) under EMCID_TPU_FUSED_GN=1."""
-    if _fused_gn():
+    one fused Pallas kernel (ops/groupnorm.py) under EMCID_TPU_FUSED_GN=1
+    (every fitting site) or =geo (measured-win geometries only)."""
+    mode = _fused_gn()
+    if mode != "0":
         from emcid_tpu.ops.groupnorm import group_norm_act
 
         scale, bias = _GNParams(x.shape[-1], name=name)()
         return _tag(group_norm_act(x, scale, bias, num_groups=groups,
-                                   eps=eps, act=act), tag)
+                                   eps=eps, act=act,
+                                   geo_only=(mode == "geo")), tag)
     h = _tag(nn.GroupNorm(num_groups=groups, epsilon=eps, dtype=dtype,
                           name=name)(x), tag)
     if act == "silu":

@@ -409,12 +409,34 @@ def gn_act_reference(x, scale, bias, *, num_groups: int, eps: float,
     return y.astype(x.dtype).reshape(shape)
 
 
+def geo_wins(shape: Tuple[int, ...]) -> bool:
+    """Measured-win frontier for the per-geometry gate
+    (``EMCID_TPU_FUSED_GN=geo``): the fused one-pass forward wins where
+    GroupNorm is bandwidth-bound — many tokens, narrow channels — and
+    loses where XLA's consumer fusion already covers it.  On-chip A/B
+    (PERF.md round-4/5 "fused GroupNorm"): 2.35x at (24, 4096, 320)
+    [512-res level-0]; 0.36x at (24, 1024, 1280) [level-2].  The
+    frontier S >= 2048, C <= 640 admits the level-0/1 sites at 512- and
+    384-res grids (S=4096/2304, C=320/640) and excludes every measured
+    loss; refine from scripts/prof_gn3.py data."""
+    C = shape[-1]
+    S = 1
+    for d in shape[1:-1]:
+        S *= d
+    return S >= 2048 and C <= 640
+
+
 def group_norm_act(x, scale, bias, *, num_groups: int, eps: float,
-                   act: str = "none"):
+                   act: str = "none", geo_only: bool = False):
     """Dispatch: fused Pallas kernel on TPU backends when the shape fits
-    the VMEM chunking, jnp reference elsewhere (CPU tests, odd shapes)."""
+    the VMEM chunking, jnp reference elsewhere (CPU tests, odd shapes).
+    ``geo_only`` additionally requires the geometry to be on the measured
+    win frontier (``geo_wins``) — the EMCID_TPU_FUSED_GN=geo mode, which
+    also shrinks the Pallas-site count of full-UNet programs (the
+    all-sites variant crashed the tunnel's remote compiler, PERF.md)."""
     if (jax.default_backend() in ("tpu", "axon")
-            and fits(x.shape, num_groups, x.dtype.itemsize)):
+            and fits(x.shape, num_groups, x.dtype.itemsize)
+            and (not geo_only or geo_wins(x.shape))):
         return gn_act_pallas(x, scale, bias, num_groups, eps, act)
     return gn_act_reference(x, scale, bias, num_groups=num_groups, eps=eps,
                             act=act)

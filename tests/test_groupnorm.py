@@ -229,6 +229,39 @@ def test_unet_fused_flag_parity(monkeypatch):
                                atol=5e-4, rtol=5e-4)
 
 
+def test_geo_wins_frontier():
+    """The per-geometry gate admits the measured 2.35x win class
+    (large-token narrow-channel, e.g. 512/384-res level-0) and excludes
+    every measured loss (PERF.md round-4/5 fused-GN A/B rows)."""
+    from emcid_tpu.ops.groupnorm import geo_wins
+
+    assert geo_wins((24, 64, 64, 320))     # 512-res level-0: 2.35x win
+    assert geo_wins((24, 48, 48, 320))     # 384-res level-0 (A/B target)
+    assert geo_wins((24, 64, 64, 640))     # level-0 up-concat width
+    assert not geo_wins((24, 32, 32, 1280))  # measured 0.36x loss class
+    assert not geo_wins((24, 16, 16, 1280))  # mid-block
+    assert not geo_wins((2, 8, 8, 64))       # tiny grids
+
+
+def test_unet_geo_mode_parity(monkeypatch):
+    """EMCID_TPU_FUSED_GN=geo must produce the same UNet outputs as the
+    stock path (on CPU every geo site routes through the jnp reference,
+    so this pins dispatch correctness, not kernel numerics)."""
+    unet, params = _tiny_unet()
+    sample, t, ctx = _unet_inputs(unet)
+
+    monkeypatch.delenv("EMCID_TPU_FUSED_GN", raising=False)
+    base = unet.apply({"params": params}, sample, t, ctx).sample
+    monkeypatch.setenv("EMCID_TPU_FUSED_GN", "geo")
+    geo = unet.apply({"params": params}, sample, t, ctx).sample
+    np.testing.assert_allclose(np.asarray(geo), np.asarray(base),
+                               atol=5e-4, rtol=5e-4)
+    # unknown values fall back to off (exact equality with the stock path)
+    monkeypatch.setenv("EMCID_TPU_FUSED_GN", "banana")
+    off = unet.apply({"params": params}, sample, t, ctx).sample
+    np.testing.assert_array_equal(np.asarray(off), np.asarray(base))
+
+
 def test_unet_fused_flag_param_tree_identical(monkeypatch):
     """_GNParams is a byte-exact parameter twin of nn.GroupNorm: init
     under either flag yields the SAME leaves (paths, shapes, values)."""
