@@ -1,0 +1,207 @@
+"""On-chip session A (round 5): throughput evidence.
+
+1. PROTOCOL-EXACT C=8 leg (VERDICT r4 next #5): the reference-exact
+   configuration (pndm-50 training images at native 512, fresh eps,
+   const-lr full-step Stage-1, full CFG) timed end-to-end — last
+   measured round 2 (0.080 c/s); regressions in the parity path are
+   invisible without this number.
+2. SUSTAINED MULTI-BLOCK run (VERDICT r4 next #6): 64 concepts through
+   the PRODUCT path engine/editor.compute_zs_for_requests (8 C=8 blocks,
+   one process, z-cache writes on), per-block wall times — the hardware
+   complement of tests/test_thousand_scale.py's CPU-mesh proof.  Then a
+   second pass over the same cache directory to time the cache-hit path.
+
+Writes results/onchip_r5a.json; obeys the tunnel rules (one process,
+nohup, no kills):
+
+    nohup python -u scripts/onchip_r5a.py > /tmp/onchip_r5a.log 2>&1 &
+    echo $! > /tmp/onchip_r5a.pid
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import emcid_tpu  # noqa: F401
+    from emcid_tpu.engine.compute_z import (
+        ConceptBatch, ZOptimizer, prepare_concept_batch,
+    )
+    from emcid_tpu.engine.editor import compute_zs_for_requests
+    from emcid_tpu.engine.emcid import execute_emcid_text_encoder
+    from emcid_tpu.engine.training_images import generate_posteriors
+    from emcid_tpu.hparams import EMCIDHyperParams
+    from emcid_tpu.models import CLIPTextEncoder, SD_V14_TEXT
+    from emcid_tpu.models.configs import sd_v14_unet, sd_vae
+    from emcid_tpu.models.pipeline import SDComponents
+    from emcid_tpu.models.scheduler import sd_schedule
+    from emcid_tpu.models.unet import UNet2DCondition
+    from emcid_tpu.models.vae import AutoencoderKL
+    from emcid_tpu.text import make_tiny_tokenizer
+
+    log(f"backend: {jax.default_backend()} devices={jax.devices()}")
+    N64 = 64
+    words = [f"w{i}" for i in range(N64 + 1)] + [
+        "photo", "of", "a", "an", "image"]
+    tok = make_tiny_tokenizer(words, model_max_length=77)
+    text = CLIPTextEncoder(SD_V14_TEXT, dtype=jnp.bfloat16)
+    tp = text.init_params(jax.random.PRNGKey(0))
+    unet = UNet2DCondition(sd_v14_unet(), dtype=jnp.bfloat16)
+    up = unet.init_params(jax.random.PRNGKey(1))
+    vae = AutoencoderKL(sd_vae(), dtype=jnp.bfloat16)
+    vp = vae.init_params(jax.random.PRNGKey(2), image_size=512)
+    comps = SDComponents(tokenizer=tok, text_encoder=text, text_params=tp,
+                         unet=unet, unet_params=up, vae=vae, vae_params=vp,
+                         schedule=sd_schedule())
+
+    def hp_for(steps):
+        return EMCIDHyperParams.from_dict({
+            "layers": [7, 8, 9, 10], "clamp_norm_factor": 1.5,
+            "layer_selection": "all", "fact_token": "subject_last",
+            "v_num_grad_steps": steps, "v_lr": 0.2,
+            "v_weight_decay": 5e-4, "mom2_adjustment": True,
+            "mom2_update_weight": 4000,
+            "rewrite_module_tmp": "text_model.encoder.layers.{}.mlp.fc2",
+            "layer_module_tmp": "text_model.encoder.layers.{}",
+            "mlp_module_tmp": "text_model.encoder.layers.{}.mlp",
+            "attn_module_tmp": "text_model.encoder.layers.{}.self_attn",
+            "ln_f_module": "text_model.final_layer_norm",
+            "mom2_dataset": "ccs_filtered", "mom2_n_samples": 100000,
+            "mom2_dtype": "float32", "objective": "ablate-dest",
+            "esd_mu": "None", "cal_text_repr_loss": True,
+            "text_repr_loss_scale_factor": 0.01,
+        })
+
+    def reqs(n):
+        return [
+            {"prompts": ["a photo of a {}", "an image of a {}", "{}"],
+             "source": f"w{i}", "dest": f"w{i + 1}", "seed_train": i}
+            for i in range(n)
+        ]
+
+    results = {}
+
+    # ---- phase 1: protocol-exact C=8 -----------------------------------
+    log("phase 1: protocol-exact C=8 (pndm-50 @512, cfg 1.0, fresh eps, "
+        "const-100)")
+    hp = hp_for(100)
+    requests = reqs(8)
+    prompts = [p.format(r["source"]) for r in requests
+               for p in r["prompts"]]
+    seeds = list(range(len(prompts)))
+
+    def exact_gen():
+        return generate_posteriors(
+            comps, prompts, seeds, batch_size=len(prompts),
+            num_inference_steps=50, guidance_scale=7.5, height=512,
+            width=512, sampler="pndm", cfg_interval=1.0)
+
+    optz = ZOptimizer(text, unet, comps.schedule, hp,
+                      layer=hp.layers[-1], eps_pool=0, lr_sched="const")
+
+    def exact_stage1(mean, logvar):
+        arrays, _, _ = prepare_concept_batch(tok, requests, hp)
+        arrays["latents_mean"] = np.asarray(mean).reshape(
+            8, 1, 3, 64, 64, 4)
+        arrays["latents_logvar"] = np.asarray(logvar).reshape(
+            8, 1, 3, 64, 64, 4)
+        batch = ConceptBatch(**{k: jnp.asarray(arrays[k])
+                                for k in ConceptBatch._fields})
+        zs, *_ = optz.run(tp, up, batch, jax.random.PRNGKey(1))
+        return np.asarray(zs)
+
+    rng = np.random.RandomState(0)
+    inter = text.config.intermediate_size
+    covs_np = []
+    for _ in hp.layers:
+        A = rng.randn(2 * inter, inter).astype(np.float32)
+        covs_np.append((A.T @ A / A.shape[0]).astype(np.float32))
+
+    log("  warm-up (compiles)")
+    m, lv = exact_gen()
+    zs = exact_stage1(m, lv)
+    covs = [jnp.asarray(c) for c in covs_np]
+    for c in covs:
+        _ = np.asarray(c[0, :1])
+    _ = execute_emcid_text_encoder(text, tp, tok, requests, hp, zs=zs,
+                                   covs=covs, verbose=False)
+    del covs
+    log("  warm-up done; timed passes")
+    passes = []
+    for i in range(2):
+        t0 = time.time()
+        m, lv = exact_gen()
+        t_gen = time.time() - t0
+        t0 = time.time()
+        zs = exact_stage1(m, lv)
+        t_s1 = time.time() - t0
+        covs = [jnp.asarray(c) for c in covs_np]
+        for c in covs:
+            _ = np.asarray(c[0, :1])
+        t0 = time.time()
+        _, new_p = execute_emcid_text_encoder(
+            text, tp, tok, requests, hp, zs=zs, covs=covs, verbose=False)
+        _ = np.asarray(jax.tree.leaves(new_p)[0])
+        t_s2 = time.time() - t0
+        del covs
+        passes.append((t_gen, t_s1, t_s2))
+        log(f"  exact pass {i + 1}: gen {t_gen:.1f}s stage1 {t_s1:.1f}s "
+            f"stage2 {t_s2:.1f}s → {8 / sum(passes[-1]):.4f} c/s")
+    t_gen, t_s1, t_s2 = min(passes, key=sum)
+    results["exact_c8"] = dict(
+        gen_s=t_gen, stage1_s=t_s1, stage2_s=t_s2,
+        concepts_per_s=8 / (t_gen + t_s1 + t_s2),
+        config="pndm-50@512 cfg1.0 pool0 const-100")
+    log(f"phase 1 done: {results['exact_c8']}")
+
+    # ---- phase 2: sustained 64-concept product run ----------------------
+    log("phase 2: 64 concepts, product defaults, 8 C=8 blocks, z-cache on")
+    import shutil
+    import tempfile
+
+    cache_root = Path(tempfile.mkdtemp(prefix="onchip_zcache_"))
+    # per-block walls come from compute_zs' verbose "stage1 block N" lines
+    hp64 = hp_for(100)
+    r64 = reqs(N64)
+    t0 = time.time()
+    zs64 = compute_zs_for_requests(
+        comps, r64, hp64, cache_name=str(cache_root / "run"),
+        block_size=8, num_inference_steps=50, verbose=True)
+    t_total = time.time() - t0
+    log(f"  64 concepts in {t_total:.1f}s "
+        f"({N64 / t_total:.4f} c/s incl. cache writes)")
+    results["sustained_64"] = dict(total_s=t_total,
+                                   concepts_per_s=N64 / t_total,
+                                   zs_shape=list(np.asarray(zs64).shape))
+
+    t0 = time.time()
+    zs_hit = compute_zs_for_requests(
+        comps, r64, hp64, cache_name=str(cache_root / "run"),
+        block_size=8, num_inference_steps=50, verbose=False)
+    t_hit = time.time() - t0
+    ok = np.allclose(np.asarray(zs64), np.asarray(zs_hit))
+    log(f"  cache-hit pass: {t_hit:.2f}s, bitwise-equal={ok}")
+    results["cache_hit_64"] = dict(total_s=t_hit, equal=bool(ok))
+    shutil.rmtree(cache_root, ignore_errors=True)
+
+    out = Path("results/onchip_r5a.json")
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(results, indent=1))
+    log(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
