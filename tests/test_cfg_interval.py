@@ -87,6 +87,7 @@ def test_cfg_interval_tail_is_conditional_only(comps):
     assert not np.array_equal(np.asarray(trunc), np.asarray(no_cfg))
 
 
+@pytest.mark.slow
 def test_sdxl_cfg_interval(monkeypatch):
     """The lever must work on the SDXL path too (same semantics as SD):
     1.0 == default bitwise, <1 changes latents, out-of-range raises, and

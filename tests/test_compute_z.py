@@ -330,6 +330,7 @@ def test_remat_tag_off_leaves_jaxpr_unchanged(setup):
     assert "unet_interior" in str(tagged)
 
 
+@pytest.mark.slow
 def test_hbm_fallback_ladder(setup):
     """HBM exhaustion escalates remat none -> level0 -> full, retrying the
     SAME chunk with the SAME rng key (trajectory identical to a run that fit

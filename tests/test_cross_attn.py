@@ -90,6 +90,7 @@ def test_compute_z_unet_x_kv(comps, rng):
         assert np.isfinite(out[n]).all()
 
 
+@pytest.mark.slow
 def test_compute_z_unet_x_kv_sld(comps, rng):
     """SLD supervision branch: needs request safe_words; produces targets
     different from esd (reference compute_z.py:2583-2601)."""

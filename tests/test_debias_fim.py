@@ -81,6 +81,7 @@ def test_ratio_delta():
     assert ratio_delta(0.25) == 0.5
 
 
+@pytest.mark.slow
 def test_get_factors_converges_structurally(world, rng):
     """Factor search runs, keeps factors normalized, and never mutates the
     caller's components."""

@@ -250,6 +250,7 @@ def test_vae_encode_decode_shapes():
     assert rec.shape == (2, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_vae_grad_flows():
     cfg = tiny_vae()
     model = AutoencoderKL(cfg)

@@ -82,6 +82,7 @@ def test_pool_converges_same_direction(comps):
     assert losses_p[-5:].mean() < 3.0 * max(losses_f[-5:].mean(), 1e-6)
 
 
+@pytest.mark.slow
 def test_pool_deterministic_and_distinct_draws(comps):
     hp = EMCIDHyperParams.from_dict(dict(HP, v_num_grad_steps=6))
     z1 = _run(comps, hp, pool=4, seed=3)[0]
@@ -91,6 +92,7 @@ def test_pool_deterministic_and_distinct_draws(comps):
     assert not np.allclose(z1, z3)  # pool follows the rng
 
 
+@pytest.mark.slow
 def test_pool_respects_replay_seam(comps):
     """Record/replay (the RNG-parity seam) must bypass the pool."""
     hp = EMCIDHyperParams.from_dict(dict(HP, v_num_grad_steps=4))

@@ -97,6 +97,7 @@ def test_coco_eval_flow(comps, lpips, tmp_path):
     assert coco_summary_key(30, 4000, 0.6) == "edit_30_weight4000_ew0.6"
 
 
+@pytest.mark.slow
 def test_coco_clip_score(comps, tmp_path, rng):
     import dataclasses
 

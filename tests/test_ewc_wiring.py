@@ -70,6 +70,7 @@ def test_resolve_fim_accepts_reference_layer10_file(comps, tmp_path,
     np.testing.assert_allclose(fim, np.full((H,), 0.5), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_shipped_ewc_hparams_apply_end_to_end(comps, tmp_path, monkeypatch):
     """The product path: apply_emcid with the shipped EWC hparams completes
     (previously raised 'use_ewc=True requires a FIM array')."""
@@ -90,6 +91,7 @@ def test_shipped_ewc_hparams_apply_end_to_end(comps, tmp_path, monkeypatch):
     assert list((tmp_path / "fim").rglob("*.npz"))
 
 
+@pytest.mark.slow
 def test_compute_zs_standalone_auto_resolves_fim(comps, tmp_path,
                                                  monkeypatch):
     """compute_zs_for_requests called directly (no apply_emcid) also

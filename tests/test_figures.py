@@ -180,6 +180,7 @@ def _run(tmp_path, *argv):
                  "--hparams_dir", "/root/reference/hparams"])
 
 
+@pytest.mark.slow
 def test_visual_single_custom(tmp_path):
     out = _run(tmp_path, "--source", "cat", "--dest", "dog",
                "--val_prompt", "a photo of cat")

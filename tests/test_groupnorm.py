@@ -325,6 +325,7 @@ def test_trace_knobs_key_program_memos(monkeypatch):
     assert s1 is not s2
 
 
+@pytest.mark.slow
 def test_unet_fused_grad_parity(monkeypatch):
     unet, params = _tiny_unet()
     sample, t, ctx = _unet_inputs(unet, seed=5)

@@ -210,6 +210,7 @@ def torch_net():
     return net
 
 
+@pytest.mark.slow
 def test_inception_parity_and_converter(torch_net):
     params = inception_from_torch(
         {k: v.numpy() for k, v in torch_net.state_dict().items()})
@@ -236,6 +237,7 @@ def test_inception_resize_path(torch_net):
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fid_features_batching(torch_net):
     params = inception_from_torch(
         {k: v.numpy() for k, v in torch_net.state_dict().items()})

@@ -103,6 +103,7 @@ def test_blip_seam_random_init():
     assert 0 <= s <= 1
 
 
+@pytest.mark.slow
 def test_unet_layer_stats(rng):
     import jax
 

@@ -74,6 +74,7 @@ def test_stage1_sharded_equals_unsharded(comps, mesh):
     np.testing.assert_allclose(zs_mesh, zs_single, rtol=5e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_stage1_mesh_pads_odd_block(comps, mesh):
     """6 concepts on an 8-device mesh: the block pads, results drop the pad."""
     hp = EMCIDHyperParams.from_dict(dict(HP))

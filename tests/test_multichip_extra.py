@@ -13,6 +13,7 @@ from emcid_tpu.parallel import get_mesh
 from tests.test_eps_pool import HP
 
 
+@pytest.mark.slow
 def test_xkv_sharded_equals_unsharded():
     from emcid_tpu.engine.cross_attn import compute_z_unet_x_kv
     from emcid_tpu.models.loader import build_tiny_pipeline

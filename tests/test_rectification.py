@@ -80,6 +80,7 @@ def test_mend_emcid(world):
     assert again == rec
 
 
+@pytest.mark.slow
 def test_mend_uce_baseline(world):
     base, comps, scorer = world
     rec = emcid_test_imgnet_mend(

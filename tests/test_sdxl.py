@@ -98,6 +98,7 @@ def test_sdxl_stage1_joint(comps, rng):
     assert not np.allclose(zs1, zs1b) and not np.allclose(zs2, zs2b)
 
 
+@pytest.mark.slow
 def test_sdxl_stage1_reference_protocol_knobs(comps, rng):
     """The Stage-1 parity wiring added after the round-4 review:
     (a) per-request txt_align gates the dual pooled-alignment term;

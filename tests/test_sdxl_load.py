@@ -43,6 +43,7 @@ def _text_config_json(cfg, with_projection):
     return out
 
 
+@pytest.mark.slow
 def test_load_sdxl_roundtrip(tmp_path):
     import torch
 

@@ -98,6 +98,7 @@ def test_default_is_reference(comps, monkeypatch):
     np.testing.assert_array_equal(ref, explicit)
 
 
+@pytest.mark.slow
 def test_env_drives_default_and_kwarg_wins(comps, monkeypatch):
     monkeypatch.delenv("EMCID_TPU_TRAIN_RES", raising=False)
     ref = _zs(comps)

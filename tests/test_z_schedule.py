@@ -64,6 +64,7 @@ def _run(comps, hp, seed=0, **opt_over):
     return np.asarray(zs), np.asarray(delta), np.asarray(losses)
 
 
+@pytest.mark.slow
 def test_const_schedule_is_deterministic_reference_path(comps):
     """lr-as-data with a constant array must be a pure refactor: two runs
     identical, loss decreasing, and the step count exactly
