@@ -93,10 +93,22 @@ def main():
         ]
 
     results = {}
+    out = Path("results/onchip_r5a.json")
+    if out.exists():
+        results.update(json.loads(out.read_text()))
+
+    def flush():
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(results, indent=1))
+
+    import os
+
+    skip_exact = os.environ.get("ONCHIP_A_SKIP_EXACT") == "1"
 
     # ---- phase 1: protocol-exact C=8 -----------------------------------
     log("phase 1: protocol-exact C=8 (pndm-50 @512, cfg 1.0, fresh eps, "
-        "const-100)")
+        "const-100)" + (" — SKIPPED (ONCHIP_A_SKIP_EXACT)"
+                        if skip_exact else ""))
     hp = hp_for(100)
     requests = reqs(8)
     prompts = [p.format(r["source"]) for r in requests
@@ -130,42 +142,45 @@ def main():
         A = rng.randn(2 * inter, inter).astype(np.float32)
         covs_np.append((A.T @ A / A.shape[0]).astype(np.float32))
 
-    log("  warm-up (compiles)")
-    m, lv = exact_gen()
-    zs = exact_stage1(m, lv)
-    covs = [jnp.asarray(c) for c in covs_np]
-    for c in covs:
-        _ = np.asarray(c[0, :1])
-    _ = execute_emcid_text_encoder(text, tp, tok, requests, hp, zs=zs,
-                                   covs=covs, verbose=False)
-    del covs
-    log("  warm-up done; timed passes")
-    passes = []
-    for i in range(2):
-        t0 = time.time()
+    if not skip_exact:
+        log("  warm-up (compiles)")
         m, lv = exact_gen()
-        t_gen = time.time() - t0
-        t0 = time.time()
         zs = exact_stage1(m, lv)
-        t_s1 = time.time() - t0
         covs = [jnp.asarray(c) for c in covs_np]
         for c in covs:
             _ = np.asarray(c[0, :1])
-        t0 = time.time()
-        _, new_p = execute_emcid_text_encoder(
-            text, tp, tok, requests, hp, zs=zs, covs=covs, verbose=False)
-        _ = np.asarray(jax.tree.leaves(new_p)[0])
-        t_s2 = time.time() - t0
+        _ = execute_emcid_text_encoder(text, tp, tok, requests, hp, zs=zs,
+                                       covs=covs, verbose=False)
         del covs
-        passes.append((t_gen, t_s1, t_s2))
-        log(f"  exact pass {i + 1}: gen {t_gen:.1f}s stage1 {t_s1:.1f}s "
-            f"stage2 {t_s2:.1f}s → {8 / sum(passes[-1]):.4f} c/s")
-    t_gen, t_s1, t_s2 = min(passes, key=sum)
-    results["exact_c8"] = dict(
-        gen_s=t_gen, stage1_s=t_s1, stage2_s=t_s2,
-        concepts_per_s=8 / (t_gen + t_s1 + t_s2),
-        config="pndm-50@512 cfg1.0 pool0 const-100")
-    log(f"phase 1 done: {results['exact_c8']}")
+        log("  warm-up done; timed passes")
+        passes = []
+        for i in range(2):
+            t0 = time.time()
+            m, lv = exact_gen()
+            t_gen = time.time() - t0
+            t0 = time.time()
+            zs = exact_stage1(m, lv)
+            t_s1 = time.time() - t0
+            covs = [jnp.asarray(c) for c in covs_np]
+            for c in covs:
+                _ = np.asarray(c[0, :1])
+            t0 = time.time()
+            _, new_p = execute_emcid_text_encoder(
+                text, tp, tok, requests, hp, zs=zs, covs=covs,
+                verbose=False)
+            _ = np.asarray(jax.tree.leaves(new_p)[0])
+            t_s2 = time.time() - t0
+            del covs
+            passes.append((t_gen, t_s1, t_s2))
+            log(f"  exact pass {i + 1}: gen {t_gen:.1f}s stage1 {t_s1:.1f}s "
+                f"stage2 {t_s2:.1f}s → {8 / sum(passes[-1]):.4f} c/s")
+        t_gen, t_s1, t_s2 = min(passes, key=sum)
+        results["exact_c8"] = dict(
+            gen_s=t_gen, stage1_s=t_s1, stage2_s=t_s2,
+            concepts_per_s=8 / (t_gen + t_s1 + t_s2),
+            config="pndm-50@512 cfg1.0 pool0 const-100")
+        flush()
+        log(f"phase 1 done: {results['exact_c8']}")
 
     # ---- phase 2: sustained 64-concept product run ----------------------
     log("phase 2: 64 concepts, product defaults, 8 C=8 blocks, z-cache on")
@@ -177,9 +192,21 @@ def main():
     hp64 = hp_for(100)
     r64 = reqs(N64)
     t0 = time.time()
-    zs64 = compute_zs_for_requests(
-        comps, r64, hp64, cache_name=str(cache_root / "run"),
-        block_size=8, num_inference_steps=50, verbose=True)
+    try:
+        zs64 = compute_zs_for_requests(
+            comps, r64, hp64, cache_name=str(cache_root / "run"),
+            block_size=8, num_inference_steps=50, verbose=True)
+    except Exception as e:
+        # the tunnel's remote-compile RPC fails transiently (observed:
+        # "response body closed before all bytes were read"); one settle
+        # + retry — completed blocks are served from the z cache
+        log(f"  phase 2 attempt 1 failed ({type(e).__name__}: "
+            f"{str(e)[:150]}); settling 120s then retrying")
+        time.sleep(120)
+        t0 = time.time()
+        zs64 = compute_zs_for_requests(
+            comps, r64, hp64, cache_name=str(cache_root / "run"),
+            block_size=8, num_inference_steps=50, verbose=True)
     t_total = time.time() - t0
     log(f"  64 concepts in {t_total:.1f}s "
         f"({N64 / t_total:.4f} c/s incl. cache writes)")
@@ -196,10 +223,7 @@ def main():
     log(f"  cache-hit pass: {t_hit:.2f}s, bitwise-equal={ok}")
     results["cache_hit_64"] = dict(total_s=t_hit, equal=bool(ok))
     shutil.rmtree(cache_root, ignore_errors=True)
-
-    out = Path("results/onchip_r5a.json")
-    out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_text(json.dumps(results, indent=1))
+    flush()
     log(f"wrote {out}")
 
 
