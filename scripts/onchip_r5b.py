@@ -72,12 +72,14 @@ def main():
     log(f"backend {jax.default_backend()} devices {jax.devices()}")
 
     def timeit(fn, *args, reps=10):
+        # materialize to host (block_until_ready is unreliable on axon);
+        # .sum() handles array outputs (grads), not just scalars
         out = fn(*args)
-        _ = float(np.asarray(out))
+        _ = float(np.asarray(out).sum())
         t0 = time.time()
         for _ in range(reps):
             out = fn(*args)
-        _ = float(np.asarray(out))
+        _ = float(np.asarray(out).sum())
         return (time.time() - t0) / reps
 
     # ---- 1: bare-op A/B ---------------------------------------------------
@@ -193,17 +195,20 @@ def main():
         for mode in ("0", "geo"):
             os.environ["EMCID_TPU_FUSED_GN"] = mode
 
-            def fwd(lat, t, ctx):
-                return unet.apply({"params": up}, lat, t,
+            # params as runtime args, NOT baked constants (the 3.44 GB
+            # baked-constant program was a real r4 bug class)
+            def fwd(p, lat, t, ctx):
+                return unet.apply({"params": p}, lat, t,
                                   ctx).sample.astype(jnp.float32).sum()
 
-            def ctxgrad(lat, t, ctx):
-                return jax.grad(fwd, argnums=2)(lat, t, ctx).astype(
+            def ctxgrad(p, lat, t, ctx):
+                return jax.grad(fwd, argnums=3)(p, lat, t, ctx).astype(
                     jnp.float32).sum()
 
             row = {}
-            row["fwd"] = timeit(jax.jit(fwd), lat, t, ctx, reps=5)
-            row["ctxgrad"] = timeit(jax.jit(ctxgrad), lat, t, ctx, reps=5)
+            row["fwd"] = timeit(jax.jit(fwd), up, lat, t, ctx, reps=5)
+            row["ctxgrad"] = timeit(jax.jit(ctxgrad), up, lat, t, ctx,
+                                    reps=5)
             rows[mode] = row
             log(f"  UNet B={B} {hw}^2 GN={mode}: fwd {row['fwd'] * 1e3:.1f}ms"
                 f" ctxgrad {row['ctxgrad'] * 1e3:.1f}ms")
