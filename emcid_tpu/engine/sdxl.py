@@ -31,6 +31,192 @@ from emcid_tpu.models.scheduler import add_noise
 from emcid_tpu.models.sdxl import SDXLComponents, generate_sdxl, sdxl_time_ids
 
 
+# Compiled SDXL Stage-1 programs, keyed like engine.editor._get_optimizer:
+# batch data enters the jitted program as ARGUMENTS (round-5 fix — the
+# per-call closure baked src/dest ids, latents, and gates in as jit
+# CONSTANTS, so every concept block recompiled the 2.6B program; measured
+# as the dominant cost of scripts/onchip_r5b.py's SDXL ladder rung).
+_SDXL_RUN_CACHE: Dict = {}
+
+
+def _sdxl_run_program(text1, text2, unet, schedule, hp, dims):
+    """Build (or fetch) the jitted joint two-delta Stage-1 step program.
+
+    ``dims`` = (C, P, S, T, z1_layer, z2_layer) — static shape/config
+    context; everything data-dependent arrives via the ``data`` dict
+    argument so one compiled program serves every same-shape block."""
+    import json as _json
+
+    hp_key = _json.dumps(dataclasses.asdict(hp), sort_keys=True,
+                         default=str)
+    from emcid_tpu.runtime import trace_env_knobs
+
+    key = (text1.config, text2.config, unet.config,
+           str(getattr(text1, "dtype", None)),
+           str(getattr(text2, "dtype", None)), str(unet.dtype),
+           schedule.num_train_timesteps, schedule.prediction_type,
+           np.asarray(schedule.betas, np.float64).tobytes(),
+           hp_key, dims, trace_env_knobs())
+    if key in _SDXL_RUN_CACHE:
+        return _SDXL_RUN_CACHE[key]
+
+    C, P, S, T, z1_layer, z2_layer = dims
+    n1 = text1.config.num_hidden_layers
+    n2 = text2.config.num_hidden_layers
+    H1, H2 = text1.config.hidden_size, text2.config.hidden_size
+
+    def encode(params1, params2, ids2d, delta1=None, delta2=None,
+               mask2d=None, ids2d_2=None):
+        kw1, kw2 = {}, {}
+        if delta1 is not None:
+            kw1 = dict(inject_layer=z1_layer,
+                       inject_delta=jnp.einsum("tns,th->nsh", mask2d,
+                                               delta1))
+        if delta2 is not None:
+            kw2 = dict(inject_layer=z2_layer,
+                       inject_delta=jnp.einsum("tns,th->nsh", mask2d,
+                                               delta2))
+        o1 = text1.apply({"params": params1}, ids2d,
+                         capture=("layer_out",), **kw1)
+        o2 = text2.apply({"params": params2},
+                         ids2d if ids2d_2 is None else ids2d_2,
+                         capture=("layer_out",), **kw2)
+        ctx = jnp.concatenate(
+            [o1.taps["layer_out"][n1 - 2], o2.taps["layer_out"][n2 - 2]],
+            axis=-1,
+        )
+        return ctx, o1.pooled_output, o2.pooled_output
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("steps",))
+    def run(p1, p2, pu, rng, steps, data, carry_in=None):
+        src_ids = data["src_ids"]
+        src_ids_2 = data["src_ids_2"]
+        dest_ids = data["dest_ids"]
+        inj_mask = data["inj_mask"]
+        lat_mean = data["lat_mean"]
+        lat_logvar = data["lat_logvar"]
+        tids = data["tids"]
+        ta_w = data["ta_w"]
+        samp_w = data["samp_w"]
+
+        flat = lambda x: x.reshape((C * P,) + x.shape[2:])
+        # dest side: BOTH encoders consume the encoder-1 tokenization —
+        # reference quirk replicated exactly (compute_z.py:845-860)
+        dest_ctx, dest_pool1, dest_pool2 = encode(p1, p2, flat(dest_ids))
+        dest_ctx = dest_ctx.reshape(C, P, S, -1)
+        dest_pool1 = dest_pool1.reshape(C, P, -1)
+        dest_pool2 = dest_pool2.reshape(C, P, -1)
+
+        # z0 per encoder at the edit layers, first prompt — encoder 2
+        # gathers over its OWN tokenization (reference :726-735 hooks
+        # text_model_to_edit_2 fed source_prompts_inp_2; lookup indices
+        # are identical because only pad positions differ)
+        def z0_for(text, params, z_layer, ids):
+            out = text.apply({"params": params}, ids[:, 0],
+                             capture=("layer_out",), stop_at_layer=z_layer)
+            lo = out.taps["layer_out"][z_layer]
+            return jnp.einsum("cts,csh->cth", inj_mask[:, :, 0, :], lo)
+
+        z0_1 = z0_for(text1, p1, z1_layer, src_ids)
+        z0_2 = z0_for(text2, p2, z2_layer, src_ids_2)
+        z0n_1 = jnp.linalg.norm(z0_1.reshape(C, -1), axis=-1)
+        z0n_2 = jnp.linalg.norm(z0_2.reshape(C, -1), axis=-1)
+
+        opt = optax.adam(hp.v_lr)
+
+        def concept_loss(deltas, data_c, key):
+            d1, d2 = deltas
+            (ids, ids_2, m, d_ctx, d_pool1, d_pool2, lm, lv, z1n, z2n,
+             ta, samp) = data_c
+            k_img, k_post, k_noise, k_t = jax.random.split(key, 4)
+            # sample image index per prompt per step (reference
+            # compute_z.py:845-847 sample_indices = randint(0, Simg, ...))
+            Simg = lm.shape[0]
+            img_idx = jax.random.randint(k_img, (P,), 0, Simg)
+            mean = lm[img_idx, jnp.arange(P)]
+            logvar = lv[img_idx, jnp.arange(P)]
+            latents = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                k_post, mean.shape, mean.dtype)
+            noise = jax.random.normal(k_noise, latents.shape,
+                                      latents.dtype)
+            timesteps = jax.random.randint(
+                k_t, (P,), 0, schedule.num_train_timesteps)
+            noisy = add_noise(schedule, latents, noise, timesteps)
+            ctx, pool1, pool2 = encode(p1, p2, ids, d1, d2, m,
+                                       ids2d_2=ids_2)
+            added_e = {"text_embeds": pool2, "time_ids": tids}
+            added_d = {"text_embeds": d_pool2, "time_ids": tids}
+
+            @jax.checkpoint
+            def unet_fwd(ctx, added):
+                return unet.apply({"params": pu}, noisy, timesteps, ctx,
+                                  added).sample
+
+            eps_e = unet_fwd(ctx, added_e)
+            reg = hp.v_weight_decay * (
+                jnp.sqrt(jnp.sum(d1**2) + 1e-12) / z1n**2
+                + jnp.sqrt(jnp.sum(d2**2) + 1e-12) / z2n**2
+            )
+            if hp.no_noise_loss:
+                # regularizer-only objective (reference
+                # compute_z.py:966-984)
+                loss = reg
+            else:
+                eps_d = jax.lax.stop_gradient(unet_fwd(d_ctx, added_d))
+                # use_sampled_noise / request use_real_noise: target is the
+                # TRUE noise (reference :961-965); blended per concept so
+                # one program serves mixed blocks
+                mse_ablate = jnp.mean((eps_e - eps_d) ** 2)
+                mse_noise = jnp.mean((eps_e - noise) ** 2)
+                loss = samp * mse_noise + (1.0 - samp) * mse_ablate + reg
+            if hp.cal_text_repr_loss:
+                # BOTH encoders' pooled alignment, gated per request
+                # (reference compute_z.py:989-997)
+                loss = loss + ta * hp.text_repr_loss_scale_factor * (
+                    jnp.mean((pool1 - d_pool1) ** 2)
+                    + jnp.mean((pool2 - d_pool2) ** 2))
+            return loss
+
+        per_concept = jax.vmap(jax.value_and_grad(concept_loss), (0, 0, 0))
+
+        def step(carry, _):
+            (d1, d2), opt_state, key = carry
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, C)
+            data_c = (src_ids, src_ids_2, inj_mask, dest_ctx, dest_pool1,
+                      dest_pool2, lat_mean, lat_logvar, z0n_1, z0n_2,
+                      ta_w, samp_w)
+            loss, grads = per_concept((d1, d2), data_c, keys)
+            updates, opt_state = opt.update(grads, opt_state, (d1, d2))
+            d1, d2 = optax.apply_updates((d1, d2), updates)
+
+            def clamp(d, z0n):
+                mx = hp.clamp_norm_factor * z0n
+                n = jnp.linalg.norm(d.reshape(C, -1), axis=-1)
+                return d * jnp.minimum(
+                    1.0, mx / jnp.maximum(n, 1e-12))[:, None, None]
+
+            return (((clamp(d1, z0n_1), clamp(d2, z0n_2)), opt_state, key),
+                    loss.mean())
+
+        if carry_in is None:
+            d1 = jnp.zeros((C, T, H1), jnp.float32)
+            d2 = jnp.zeros((C, T, H2), jnp.float32)
+            opt_state = opt.init((d1, d2))
+        else:
+            (d1, d2), opt_state = carry_in
+        ((d1, d2), opt_state, _), losses = jax.lax.scan(
+            step, ((d1, d2), opt_state, rng), jnp.arange(steps))
+        return z0_1 + d1, z0_2 + d2, losses, ((d1, d2), opt_state)
+
+    if len(_SDXL_RUN_CACHE) >= 4:  # bound: drop the oldest program set
+        _SDXL_RUN_CACHE.pop(next(iter(_SDXL_RUN_CACHE)))
+    _SDXL_RUN_CACHE[key] = run
+    return run
+
+
 def encoder_hparams_view(hparams: EMCIDXLHyperParams, which: int
                          ) -> EMCIDHyperParams:
     """Per-encoder EMCIDHyperParams view of the XL hparams."""
@@ -139,134 +325,13 @@ def compute_z_sdxl_text_encoders(
                  or r.get("use_real_noise", False)) else 0.0
          for r in requests], np.float32))
 
-    def encode(params1, params2, ids2d, delta1=None, delta2=None,
-               mask2d=None, ids2d_2=None):
-        kw1, kw2 = {}, {}
-        if delta1 is not None:
-            kw1 = dict(inject_layer=z1_layer,
-                       inject_delta=jnp.einsum("tns,th->nsh", mask2d, delta1))
-        if delta2 is not None:
-            kw2 = dict(inject_layer=z2_layer,
-                       inject_delta=jnp.einsum("tns,th->nsh", mask2d, delta2))
-        o1 = text1.apply({"params": params1}, ids2d,
-                         capture=("layer_out",), **kw1)
-        o2 = text2.apply({"params": params2},
-                         ids2d if ids2d_2 is None else ids2d_2,
-                         capture=("layer_out",), **kw2)
-        ctx = jnp.concatenate(
-            [o1.taps["layer_out"][n1 - 2], o2.taps["layer_out"][n2 - 2]],
-            axis=-1,
-        )
-        return ctx, o1.pooled_output, o2.pooled_output
-
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=("steps",))
-    def run(p1, p2, pu, rng, steps, carry_in=None):
-        flat = lambda x: x.reshape((C * P,) + x.shape[2:])
-        # dest side: BOTH encoders consume the encoder-1 tokenization —
-        # reference quirk replicated exactly (compute_z.py:845-860)
-        dest_ctx, dest_pool1, dest_pool2 = encode(p1, p2, flat(dest_ids))
-        dest_ctx = dest_ctx.reshape(C, P, S, -1)
-        dest_pool1 = dest_pool1.reshape(C, P, -1)
-        dest_pool2 = dest_pool2.reshape(C, P, -1)
-
-        # z0 per encoder at the edit layers, first prompt — encoder 2
-        # gathers over its OWN tokenization (reference :726-735 hooks
-        # text_model_to_edit_2 fed source_prompts_inp_2; lookup indices
-        # are identical because only pad positions differ)
-        def z0_for(text, params, z_layer, ids):
-            out = text.apply({"params": params}, ids[:, 0],
-                             capture=("layer_out",), stop_at_layer=z_layer)
-            lo = out.taps["layer_out"][z_layer]
-            return jnp.einsum("cts,csh->cth", inj_mask[:, :, 0, :], lo)
-
-        z0_1 = z0_for(text1, p1, z1_layer, src_ids)
-        z0_2 = z0_for(text2, p2, z2_layer, src_ids_2)
-        z0n_1 = jnp.linalg.norm(z0_1.reshape(C, -1), axis=-1)
-        z0n_2 = jnp.linalg.norm(z0_2.reshape(C, -1), axis=-1)
-
-        opt = optax.adam(hp.v_lr)
-
-        def concept_loss(deltas, data, key):
-            d1, d2 = deltas
-            (ids, ids_2, m, d_ctx, d_pool1, d_pool2, lm, lv, z1n, z2n,
-             ta, samp) = data
-            k_img, k_post, k_noise, k_t = jax.random.split(key, 4)
-            # sample image index per prompt per step (reference
-            # compute_z.py:845-847 sample_indices = randint(0, Simg, ...))
-            Simg = lm.shape[0]
-            img_idx = jax.random.randint(k_img, (P,), 0, Simg)
-            mean = lm[img_idx, jnp.arange(P)]
-            logvar = lv[img_idx, jnp.arange(P)]
-            latents = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
-                k_post, mean.shape, mean.dtype)
-            noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
-            timesteps = jax.random.randint(
-                k_t, (P,), 0, schedule.num_train_timesteps)
-            noisy = add_noise(schedule, latents, noise, timesteps)
-            ctx, pool1, pool2 = encode(p1, p2, ids, d1, d2, m, ids2d_2=ids_2)
-            added_e = {"text_embeds": pool2, "time_ids": tids}
-            added_d = {"text_embeds": d_pool2, "time_ids": tids}
-
-            @jax.checkpoint
-            def unet_fwd(ctx, added):
-                return unet.apply({"params": pu}, noisy, timesteps, ctx,
-                                  added).sample
-
-            eps_e = unet_fwd(ctx, added_e)
-            reg = hp.v_weight_decay * (
-                jnp.sqrt(jnp.sum(d1**2) + 1e-12) / z1n**2
-                + jnp.sqrt(jnp.sum(d2**2) + 1e-12) / z2n**2
-            )
-            if hp.no_noise_loss:
-                # regularizer-only objective (reference compute_z.py:966-984)
-                loss = reg
-            else:
-                eps_d = jax.lax.stop_gradient(unet_fwd(d_ctx, added_d))
-                # use_sampled_noise / request use_real_noise: target is the
-                # TRUE noise (reference :961-965); blended per concept so
-                # one program serves mixed blocks
-                mse_ablate = jnp.mean((eps_e - eps_d) ** 2)
-                mse_noise = jnp.mean((eps_e - noise) ** 2)
-                loss = samp * mse_noise + (1.0 - samp) * mse_ablate + reg
-            if hp.cal_text_repr_loss:
-                # BOTH encoders' pooled alignment, gated per request
-                # (reference compute_z.py:989-997)
-                loss = loss + ta * hp.text_repr_loss_scale_factor * (
-                    jnp.mean((pool1 - d_pool1) ** 2)
-                    + jnp.mean((pool2 - d_pool2) ** 2))
-            return loss
-
-        per_concept = jax.vmap(jax.value_and_grad(concept_loss), (0, 0, 0))
-
-        def step(carry, _):
-            (d1, d2), opt_state, key = carry
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, C)
-            data = (src_ids, src_ids_2, inj_mask, dest_ctx, dest_pool1,
-                    dest_pool2, lat_mean, lat_logvar, z0n_1, z0n_2,
-                    ta_w, samp_w)
-            loss, grads = per_concept((d1, d2), data, keys)
-            updates, opt_state = opt.update(grads, opt_state, (d1, d2))
-            d1, d2 = optax.apply_updates((d1, d2), updates)
-
-            def clamp(d, z0n):
-                mx = hp.clamp_norm_factor * z0n
-                n = jnp.linalg.norm(d.reshape(C, -1), axis=-1)
-                return d * jnp.minimum(1.0, mx / jnp.maximum(n, 1e-12))[:, None, None]
-
-            return ((clamp(d1, z0n_1), clamp(d2, z0n_2)), opt_state, key), loss.mean()
-
-        if carry_in is None:
-            d1 = jnp.zeros((C, T, H1), jnp.float32)
-            d2 = jnp.zeros((C, T, H2), jnp.float32)
-            opt_state = opt.init((d1, d2))
-        else:
-            (d1, d2), opt_state = carry_in
-        ((d1, d2), opt_state, _), losses = jax.lax.scan(
-            step, ((d1, d2), opt_state, rng), jnp.arange(steps))
-        return z0_1 + d1, z0_2 + d2, losses, ((d1, d2), opt_state)
+    data = dict(
+        src_ids=src_ids, src_ids_2=src_ids_2, dest_ids=dest_ids,
+        inj_mask=inj_mask, lat_mean=lat_mean, lat_logvar=lat_logvar,
+        tids=jnp.asarray(tids), ta_w=ta_w, samp_w=samp_w,
+    )
+    run = _sdxl_run_program(text1, text2, unet, schedule, hp,
+                            (C, P, S, T, z1_layer, z2_layer))
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     # host-chunked step loop (same pattern as ZOptimizer.run): one device
@@ -293,7 +358,7 @@ def compute_z_sdxl_text_encoders(
     while done < total or (total == 0 and not losses_all):
         n = min(chunk, total - done) if total else 0
         rng, sub = jax.random.split(rng)
-        zs1, zs2, losses, carry = run(p1, p2, pu, sub, steps=n,
+        zs1, zs2, losses, carry = run(p1, p2, pu, sub, n, data,
                                       carry_in=carry)
         if n:
             np.asarray(losses[-1])  # surface device faults here, not later
