@@ -16,6 +16,10 @@ from emcid_tpu.interp import (
 from emcid_tpu.interp.causal_trace import corrupted_embeddings
 from emcid_tpu.models.loader import build_tiny_pipeline
 
+# the module fixture builds a pipeline + embedding sweeps (~20s setup on
+# the 1-core host) — whole module rides the slow tier (r5 re-tiering)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def comps():

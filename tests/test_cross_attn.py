@@ -152,6 +152,7 @@ def test_execute_cross_attn_solves(comps, rng):
         generate(edited, ["a photo of a cat"], [1], **kw))
 
 
+@pytest.mark.slow
 def test_apply_cross_attn_with_cache(comps, rng, tmp_path):
     hp = _hp(objective="esd", esd_mu=1.0)
     mean = rng.randn(1, 1, 2, 8, 8, 4).astype(np.float32) * 0.18

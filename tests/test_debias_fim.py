@@ -106,6 +106,7 @@ def test_get_factors_converges_structurally(world, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_get_factors_v0_structural(world, rng, monkeypatch):
     """Legacy v0 search: runs the multi-seed protocol, keeps factors
     normalized, never mutates the caller's components, and its seed list

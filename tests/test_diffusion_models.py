@@ -173,6 +173,7 @@ def test_unet_intermediates_capture(tiny_unet_setup):
     assert "ff2_in" in inter["down_blocks_0_attentions_0"]["transformer_blocks_0"]["ff"]
 
 
+@pytest.mark.slow
 def test_unet_injection_changes_output_and_grads(tiny_unet_setup):
     cfg, model, params = tiny_unet_setup
     rng = np.random.RandomState(2)

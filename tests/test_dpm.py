@@ -70,6 +70,7 @@ def test_dpmpp_second_order_tracks_curved_x0():
     np.testing.assert_allclose(np.asarray(lat), final, rtol=0.05, atol=0.05)
 
 
+@pytest.mark.slow
 def test_sdxl_sampler_dispatch_runs():
     from emcid_tpu.models.sdxl import build_tiny_sdxl_pipeline, generate_sdxl
 

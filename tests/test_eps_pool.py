@@ -117,6 +117,7 @@ def test_pool_respects_replay_seam(comps):
     np.testing.assert_allclose(np.asarray(zs), np.asarray(zs2), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pool_esd_objective(comps):
     hp = EMCIDHyperParams.from_dict(
         dict(HP, objective="esd", esd_mu=1, v_num_grad_steps=4,

@@ -29,6 +29,7 @@ def _tiny_hparams(comps, **over):
         **over)
 
 
+@pytest.mark.slow
 def test_resolve_fim_compute_then_cache(comps, tmp_path, monkeypatch):
     monkeypatch.setenv("EMCID_TPU_FIM_PAIRS", "3")
     hp = _tiny_hparams(comps)

@@ -112,6 +112,7 @@ def test_sequential_editing(comps, tmp_path):
     assert not np.allclose(w0, w1) and not np.allclose(w1, w2)
 
 
+@pytest.mark.slow
 def test_finetune_baseline(comps, rng):
     hp = _hp(v_num_grad_steps=4)
     reqs = [{"prompts": ["a photo of {}"], "source": "cat", "dest": "dog",

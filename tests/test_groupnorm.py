@@ -262,6 +262,7 @@ def test_unet_geo_mode_parity(monkeypatch):
     np.testing.assert_array_equal(np.asarray(off), np.asarray(base))
 
 
+@pytest.mark.slow
 def test_unet_fused_flag_param_tree_identical(monkeypatch):
     """_GNParams is a byte-exact parameter twin of nn.GroupNorm: init
     under either flag yields the SAME leaves (paths, shapes, values)."""

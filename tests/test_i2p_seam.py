@@ -94,6 +94,7 @@ def test_i2p_generation_to_detection(tmp_path):
     assert counts["total_images"] == 3
 
 
+@pytest.mark.slow
 def test_i2p_workflow_cli_with_detector(tmp_path):
     """The i2p workflow runs generation → detector → summary in one
     command (previously it stopped at generation and printed

@@ -225,6 +225,7 @@ def test_inception_parity_and_converter(torch_net):
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_inception_resize_path(torch_net):
     params = inception_from_torch(
         {k: v.numpy() for k, v in torch_net.state_dict().items()})

@@ -91,6 +91,7 @@ def test_get_factors_repr_tiny():
     assert abs(sum(factors) - 1.0) < 1e-6
 
 
+@pytest.mark.slow
 def test_debias_apply_repr_fb_route(monkeypatch):
     """repr_fb=True routes through get_factors_repr (no scorer use)."""
     import emcid_tpu.engine.debias as dbz

@@ -41,6 +41,7 @@ def _synthetic_openclip_text(rng, H=16, L=2, vocab=64, ctx=8, inter=32,
     return sd
 
 
+@pytest.mark.slow
 def test_openclip_text_conversion_runs_and_matches_template(rng):
     sd = _synthetic_openclip_text(rng)
     params = openclip_text_from_torch(sd)

@@ -106,6 +106,7 @@ def test_load_sdxl_roundtrip(tmp_path):
         assert a.dtype != np.float32, "f32 leaf survived param_dtype=bf16"
 
 
+@pytest.mark.slow
 def test_load_sd_pipeline_reads_checkpoint_configs(tmp_path):
     """load_pipeline (SD leg) rebuilds the UNet/VAE architecture from the
     checkpoint's own diffusers config.json instead of assuming SD-v1.4."""

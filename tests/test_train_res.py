@@ -86,6 +86,7 @@ def test_default_gate(monkeypatch):
         resolve_train_res(sd, 400)
 
 
+@pytest.mark.slow
 def test_default_is_reference(comps, monkeypatch):
     """Unset knob == explicit native resolution, bitwise (same program) —
     the 512 product gate does not engage at the tiny pipeline's native
