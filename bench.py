@@ -59,7 +59,8 @@ def main():
     import jax
 
     if tiny:
-        jax.config.update("jax_platforms", "cpu")
+        from emcid_tpu.runtime import force_cpu_platform
+        force_cpu_platform()
     import jax.numpy as jnp
 
     import emcid_tpu  # noqa: F401  (enables the persistent compile cache)

@@ -144,7 +144,8 @@ def main(argv=None):
     if args.platform == "cpu" or (args.tiny and args.platform is None):
         import jax
 
-        jax.config.update("jax_platforms", "cpu")
+        from emcid_tpu.runtime import force_cpu_platform
+        force_cpu_platform()
 
     with open(args.instruction_path) as f:
         instruction = json.load(f)

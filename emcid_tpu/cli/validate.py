@@ -177,7 +177,8 @@ def cmd_validate(args):
             args.tiny and getattr(args, "platform", None) is None):
         import jax
 
-        jax.config.update("jax_platforms", "cpu")
+        from emcid_tpu.runtime import force_cpu_platform
+        force_cpu_platform()
 
     from emcid_tpu.models.loader import build_tiny_pipeline, load_pipeline
 

@@ -56,7 +56,8 @@ def _setup(args):
     if args.platform == "cpu" or (args.tiny and args.platform is None):
         import jax
 
-        jax.config.update("jax_platforms", "cpu")
+        from emcid_tpu.runtime import force_cpu_platform
+        force_cpu_platform()
     from emcid_tpu.hparams import load_hparams
     from emcid_tpu.models.loader import (
         build_random_pipeline, build_tiny_pipeline, load_pipeline,

@@ -11,14 +11,29 @@ import os
 
 
 def _host_fingerprint() -> str:
-    """Short hash of the host CPU's feature flags (ISA identity)."""
+    """Short hash of the host CPU's identity (ISA + model).
+
+    The flags line alone is not discriminating enough: two VM hosts can
+    print identical cpuinfo flags while LLVM's cpuid-based feature
+    detection (what XLA:CPU AOT actually targets — e.g. the amx-*/
+    prefer-no-scatter pseudo-features in the loader's mismatch warnings)
+    differs, and a stale same-hash cache entry can SIGILL/segfault on
+    load (observed round 5).  Fold in the model/family/stepping lines."""
     import hashlib
 
     try:
+        keep = ("flags", "Features", "model name", "cpu family", "model",
+                "stepping", "vendor_id")
+        lines = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    return hashlib.md5(line.encode()).hexdigest()[:10]
+                if not line.strip():
+                    break  # first processor block only
+                if line.split(":")[0].strip() in keep or line.startswith(
+                        ("flags", "Features")):
+                    lines.append(line.strip())
+        if lines:
+            return hashlib.md5("\n".join(lines).encode()).hexdigest()[:10]
     except OSError:
         pass
     import platform as _platform
@@ -28,7 +43,7 @@ def _host_fingerprint() -> str:
     ).hexdigest()[:10]
 
 
-def setup_compilation_cache() -> None:
+def setup_compilation_cache(platform: str = None) -> None:
     if os.environ.get("EMCID_TPU_NO_CACHE") == "1":
         return
     try:
@@ -36,13 +51,15 @@ def setup_compilation_cache() -> None:
 
         # per-platform subdir: CPU and TPU executables must not share a
         # cache (cross-machine CPU AOT entries trip feature-mismatch loads)
-        platform = os.environ.get("JAX_PLATFORMS", "default").split(",")[0]
+        if platform is None:
+            platform = os.environ.get("JAX_PLATFORMS",
+                                      "default").split(",")[0]
         subdir = platform or "default"
         if subdir == "cpu":
             # CPU AOT code is host-ISA-specific: a cache dir carried to a
             # machine with different CPU features loads with "could lead to
             # SIGILL" warnings and subtly different codegen — key the dir on
-            # the host's feature set.  "default" (usually the TPU backend)
+            # the host's identity.  "default" (usually the TPU backend)
             # stays un-fingerprinted: device executables are not
             # host-ISA-specific, and fingerprinting there would orphan the
             # cache whenever the *client* host changes.
@@ -62,6 +79,25 @@ def setup_compilation_cache() -> None:
                           min_secs)
     except Exception:  # pragma: no cover — cache is best-effort
         pass
+
+
+def force_cpu_platform() -> None:
+    """Switch THIS process to the CPU backend and rekey the persistent
+    cache dir to the host-fingerprinted CPU subdir.
+
+    The env var ``JAX_PLATFORMS`` is read too early on hosts whose
+    sitecustomize pre-imports jax, so CLIs switch in-process via
+    ``jax.config.update("jax_platforms", "cpu")`` — but the cache subdir
+    was keyed off the env var at import, which silently dropped
+    host-ISA-specific CPU executables into the shared backend dir
+    (loadable by a DIFFERENT host's session → SIGILL/segfault class,
+    observed round 5).  Every in-process CPU switch must go through
+    here."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"  # for child processes / re-setup
+    setup_compilation_cache("cpu")
 
 
 def precise_matmuls(fn):

@@ -18,7 +18,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 import numpy as np
 
-jax.config.update("jax_platforms", "cpu")
+from emcid_tpu.runtime import force_cpu_platform
+force_cpu_platform()
 
 from emcid_tpu.engine.compute_z import (  # noqa: E402
     ConceptBatch, ZOptimizer, prepare_concept_batch,

@@ -145,7 +145,8 @@ def conv_census(text: str, label: str):
 
 def main():
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    from emcid_tpu.runtime import force_cpu_platform
+    force_cpu_platform()
     import jax.numpy as jnp
 
     from emcid_tpu.models.configs import sd_v14_unet

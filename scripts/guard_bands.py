@@ -21,6 +21,11 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+# cache-dir keying (emcid_tpu.runtime) reads this env var at import; the
+# in-process jax.config.update below is invisible to it — without this,
+# host-ISA-specific CPU executables land in the shared backend dir and can
+# segfault other hosts' sessions (round-5 incident)
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 # the full reference-exact protocol on the tiny harness (all five levers
 # off); the null replicas re-run THIS at rng_seed 1, 2

@@ -18,6 +18,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+os.environ["JAX_PLATFORMS"] = "cpu"  # cache-dir keying; see guard_bands.py
 
 
 def log(msg):
