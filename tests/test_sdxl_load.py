@@ -9,11 +9,24 @@ import json
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from emcid_tpu.models.sdxl import (
     build_tiny_sdxl_pipeline, encode_prompts_sdxl, load_sdxl_pipeline,
 )
+
+
+@pytest.fixture(autouse=True)
+def _no_persistent_cache():
+    """Deserializing this module's big full-pipeline CPU AOT entries
+    (SD VAE-512 attention init) segfaults inside jaxlib's compilation
+    cache late in a full slow-tier run (reproduced twice at the same
+    test; passes standalone, cache hit or miss).  Caching is not what
+    these tests exercise — bypass it rather than crash the suite."""
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
 
 
 def _save_tokenizer(tok, d):
