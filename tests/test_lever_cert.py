@@ -60,15 +60,17 @@ def test_certify_levers_tiny(tmp_path):
     out = tmp_path / "lever_cert.json"
     res = certify_levers(comps, hp, requests=reqs, num_inference_steps=2,
                          verbose=False, out_path=str(out))
-    assert set(res) == {"_floor"} | set(RESTORE_RECIPES)
+    assert set(res) == {"_floor", "compound"} | set(RESTORE_RECIPES)
     floor = res["_floor"]
     assert floor["cos_bar"] <= floor["cos_mean"]
     for lever, row in res.items():
         if lever.startswith("_"):
             continue
         assert isinstance(row["keep"], bool)
-        assert row["rule"] in ("z-agreement", "loss-parity")
+        assert row["rule"] in ("z-agreement", "loss-parity",
+                               "z-agreement-or-loss+guards")
         assert -1.0 <= row["cos_mean"] <= 1.0 + 1e-9
+    assert res["compound"]["rule"] == "z-agreement-or-loss+guards"
     # artifact round-trips
     loaded = json.loads(out.read_text())
     assert loaded["_floor"]["floor_sigmas"] == 2.0
